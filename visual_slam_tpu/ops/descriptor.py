@@ -1,0 +1,96 @@
+"""ORB-style rotated-BRIEF binary descriptors (256 bit), fully batched.
+
+TPU-native replacement for the SIFT descriptor stage of the reference's
+FeatureExtractor (src/v2/frame.py:11-13; ORB itself is what the author
+commented out at frame.py:8, and what BASELINE.json's north_star names).
+
+All K keypoints are described at once: the 256 point-pair pattern is rotated
+by each keypoint's orientation, sampled with bilinear interpolation via one
+batched gather, compared on the VPU, and packed into uint32[8] words. No
+per-keypoint loops anywhere.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+N_WORDS = N_BITS // 32
+PATCH_RADIUS = 13  # sample offsets stay inside a 31x31 patch after rotation
+
+
+def _make_pattern() -> np.ndarray:
+    """Deterministic BRIEF test pattern: (N_BITS, 2, 2) float32 offsets.
+
+    Gaussian-distributed around the center (sigma = patch/5), the classic
+    BRIEF-32 recipe; fixed seed so descriptors are stable across runs.
+    """
+    rng = np.random.default_rng(20240616)
+    sigma = PATCH_RADIUS / 2.0
+    pts = rng.normal(scale=sigma, size=(N_BITS, 2, 2))
+    return np.clip(pts, -PATCH_RADIUS, PATCH_RADIUS).astype(np.float32)
+
+
+PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) — (pair, endpoint, xy)
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (H,W) image at float coords; x/y any shape."""
+    H, W = img.shape
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = img.reshape(-1)
+    idx00 = y0i * W + x0i
+    v00 = flat[idx00]
+    v01 = flat[idx00 + 1]
+    v10 = flat[idx00 + W]
+    v11 = flat[idx00 + W + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@jax.jit
+def describe(
+    img_blurred: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray
+) -> jnp.ndarray:
+    """Compute packed 256-bit descriptors.
+
+    Args:
+      img_blurred: (H,W) pre-blurred grayscale (blur once per image, not per
+        keypoint — reuse ops.detect.gaussian_blur).
+      uv: (K,2) keypoint pixel coords. theta: (K,) orientations (radians).
+    Returns:
+      (K, 8) uint32 packed descriptors.
+    """
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # Rotate the pattern per keypoint: (K, 256, 2, 2).
+    px = PATTERN[..., 0][None]  # (1,256,2)
+    py = PATTERN[..., 1][None]
+    rx = c[:, None, None] * px - s[:, None, None] * py
+    ry = s[:, None, None] * px + c[:, None, None] * py
+    xs = uv[:, 0][:, None, None] + rx
+    ys = uv[:, 1][:, None, None] + ry
+    vals = _bilinear(img_blurred, xs, ys)  # (K,256,2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K,256)
+    bits = bits.reshape(bits.shape[0], N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # (K,8)
+
+
+def unpack_pm1(desc: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(K,8) uint32 -> (K,256) ±1 values, the MXU-matmul form for matching."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(desc.shape[0], N_BITS)
+    return (bits.astype(dtype) * 2 - 1)
