@@ -1,0 +1,65 @@
+"""Integration tests: full pipeline on real ICL-NUIM frames vs ground truth
+(the ATE-RMSE integration tests SURVEY.md §4 calls for)."""
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/data/ICL_NUIM"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DATA), reason="ICL-NUIM dataset not available"
+)
+
+
+def test_dataset_reader():
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+
+    ds = ICLNUIMDataset(DATA)
+    assert len(ds) == 1241
+    g = ds.gray(0)
+    assert g.shape == (480, 640) and g.dtype == np.float32
+    assert 0.0 <= g.min() and g.max() <= 1.0
+    d = ds.depth(0)
+    assert d.shape == (480, 640)
+    assert 0.5 < np.median(d[d > 0]) < 10.0  # metres, indoor scene
+    gt = ds.ground_truth()
+    assert gt.shape[0] == 1240
+    # Rotations orthonormal.
+    RRt = gt[0, :3, :3] @ gt[0, :3, :3].T
+    np.testing.assert_allclose(RRt, np.eye(3), atol=1e-6)
+
+
+def test_umeyama_alignment(rng):
+    from visual_slam_tpu.utils.evaluate import ate_rmse, umeyama
+
+    src = rng.normal(size=(50, 3))
+    R_gt, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_gt) < 0:
+        R_gt[:, 0] *= -1
+    dst = 2.5 * src @ R_gt.T + np.array([1.0, -2.0, 3.0])
+    s, R, t = umeyama(src, dst, with_scale=True)
+    assert abs(s - 2.5) < 1e-6
+    np.testing.assert_allclose(R, R_gt, atol=1e-6)
+    rmse, _ = ate_rmse(src, dst, align_scale=True)
+    assert rmse < 1e-6
+
+
+def test_slam_end_to_end_short():
+    """Init + tracking on the first 110 frames; ATE must be small."""
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    ds = ICLNUIMDataset(DATA)
+    cfg = SlamConfig()
+    slam = run_sequence(ds, cfg, 0, 110)
+    assert slam.initialized, "pipeline must initialize within 110 frames"
+    assert slam.map.n_pt > 50
+    idxs, est = slam.positions()
+    assert len(idxs) > 30
+    gt = ds.ground_truth()
+    gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
+    rmse, _ = ate_rmse(est, gt_pos, align_scale=True)
+    assert rmse < 0.10, f"ATE RMSE {rmse:.3f} m too high"

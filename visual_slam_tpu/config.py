@@ -1,0 +1,75 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference hard-codes every constant inline (SURVEY.md §5 "Config / flag
+system: none"); this module gathers them all, with the reference values and
+their file:line provenance as defaults.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .models.map_state import MapConfig
+
+
+@dataclass
+class FrontendConfig:
+    max_features: int = 1024  # reference allows 3000 corners (frame.py:11)
+    quality_level: float = 0.01  # goodFeaturesToTrack quality (frame.py:11)
+    nms_radius: int = 3  # minDistance 7 -> radius 3 (frame.py:11)
+    match_ratio: float = 0.8  # Lowe ratio (frame.py:20)
+    max_hamming: float = 96.0
+    cross_check: bool = True
+
+
+@dataclass
+class TwoViewConfig:
+    ess_threshold_factor: float = 3.0  # essTh = 3.0/fx (main.py:103)
+    ransac_hypotheses: int = 512
+    min_matches: int = 100  # skip-frame gate (main.py:97-98)
+    min_valid_fraction: float = 0.9  # cheirality gate (main.py:113-114)
+    distance_thresh: float = 50.0  # recoverPose distanceThresh (helper_functions.py:176)
+
+
+@dataclass
+class TrackingConfig:
+    pnp_hypotheses: int = 256
+    pnp_threshold_px: float = 8.0  # cv2.solvePnPRansac default reprojectionError
+    refine_iters: int = 10  # ≙ motion-only BA iterations (LocalBA.py:39)
+    min_tracked_points: int = 10  # hard floor to accept a pose
+
+
+@dataclass
+class KeyframeConfig:
+    max_interval: int = 20  # main.py:221
+    min_tracked: int = 80  # main.py:221
+    tracked_ratio: float = 0.9  # main.py:221
+    cull_min_views: int = 3  # main.py:235
+    cull_every: int = 4  # main.py:234
+    cull_after: int = 6  # main.py:234
+    min_parallax_deg: float = 1.0  # new-point triangulation parallax gate
+    max_new_depth: float = 10.0  # cheirality/depth gate for mined points
+    triangulation_reproj_px: float = 4.0
+
+
+@dataclass
+class BAConfig:
+    iters: int = 10  # optimizer.optimize(10) (LocalBA.py:39)
+    cg_iters: int = 24
+    scale_gauge_on_init: bool = True  # median-depth normalize (LocalBA.py:179-190)
+
+
+@dataclass
+class SlamConfig:
+    intrinsics: np.ndarray = field(
+        default_factory=lambda: np.array([481.20, 480.0, 319.5, 239.5], np.float32)
+    )
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    twoview: TwoViewConfig = field(default_factory=TwoViewConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    seed: int = 0
+    use_depth: bool = False  # RGB-D mode: metric init/triangulation from depth

@@ -1,0 +1,182 @@
+"""SLAM map as fixed-capacity structure-of-arrays state.
+
+TPU-native replacement for the reference's dict-of-objects data model —
+`Map` (src/v2/map.py:6-131), `Frame` (src/v2/frame.py:51-125), `Point`
+(src/v2/point.py:4-59). Dynamic dicts (`frames = {id: Frame}`,
+`points_3d = {id: Point}`, per-point `frames = {frame_id: (frame, uv,
+desc)}`) become preallocated arrays + validity masks; covisibility queries
+(`GetPointsVisibleToFrames` map.py:17-24, `GetImagePointsWithFrameID`
+map.py:28-44) become masked scans of a flat observation table; culling
+(`DiscardOutlierMapPoints` map.py:124-131) becomes a masked write.
+
+This class is host-side bookkeeping (NumPy): insertions and culls happen a
+few times per keyframe, not per pixel. The heavy math consumes fixed-shape
+device views via `to_ba_problem()` / `local_snapshot()`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import ba as ba_mod
+
+
+@dataclass
+class MapConfig:
+    max_keyframes: int = 128
+    max_points: int = 16384
+    max_observations: int = 131072
+    track_capacity: int = 2048  # local-snapshot padding (points per keyframe)
+
+
+class SlamMap:
+    """Keyframes + landmarks + observation table with fixed capacities."""
+
+    def __init__(self, config: MapConfig | None = None):
+        c = self.config = config or MapConfig()
+        K, P, O = c.max_keyframes, c.max_points, c.max_observations
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))  # world->cam
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_frame_idx = np.full(K, -1, np.int64)  # source frame number
+        self.pt_xyz = np.zeros((P, 3), np.float32)
+        self.pt_desc = np.zeros((P, 8), np.uint32)  # latest descriptor
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_views = np.zeros(P, np.int32)
+        self.obs_cam = np.zeros(O, np.int32)
+        self.obs_pt = np.zeros(O, np.int32)
+        self.obs_uv = np.zeros((O, 2), np.float32)
+        self.obs_valid = np.zeros(O, bool)
+        self.n_kf = 0
+        self.n_pt = 0
+        self.n_obs = 0
+
+    # -- insertion (≙ Map.AddFrame/AddParentAndPose map.py:9-14,114-118,
+    #    Map.AddPoint3D map.py:74-80, Point.AddFrame point.py:25-26) --
+
+    def add_keyframe(self, R_cw: np.ndarray, t_cw: np.ndarray, frame_idx: int) -> int:
+        k = self.n_kf
+        if k >= self.config.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_R[k] = R_cw
+        self.kf_t[k] = t_cw
+        self.kf_valid[k] = True
+        self.kf_frame_idx[k] = frame_idx
+        self.n_kf += 1
+        return k
+
+    def add_points(self, xyz: np.ndarray, desc: np.ndarray) -> np.ndarray:
+        """Insert N landmarks; returns their slot ids."""
+        n = len(xyz)
+        if self.n_pt + n > self.config.max_points:
+            raise RuntimeError("point capacity exceeded")
+        ids = np.arange(self.n_pt, self.n_pt + n)
+        self.pt_xyz[ids] = xyz
+        self.pt_desc[ids] = desc
+        self.pt_valid[ids] = True
+        self.n_pt += n
+        return ids
+
+    def add_observations(
+        self, kf_id: int, pt_ids: np.ndarray, uvs: np.ndarray, desc: np.ndarray | None = None
+    ) -> None:
+        """≙ Map.AddPointToFrameCorrespondences (map.py:120-122)."""
+        n = len(pt_ids)
+        if self.n_obs + n > self.config.max_observations:
+            raise RuntimeError("observation capacity exceeded")
+        sl = slice(self.n_obs, self.n_obs + n)
+        self.obs_cam[sl] = kf_id
+        self.obs_pt[sl] = pt_ids
+        self.obs_uv[sl] = uvs
+        self.obs_valid[sl] = True
+        self.pt_views[pt_ids] += 1
+        if desc is not None:
+            self.pt_desc[pt_ids] = desc  # keep the freshest descriptor
+        self.n_obs += n
+
+    # -- queries --
+
+    def points_seen_by(self, kf_id: int):
+        """(pt_ids, uvs) of valid landmarks observed by a keyframe.
+
+        ≙ Map.GetImagePointsWithFrameID (map.py:28-44).
+        """
+        m = self.obs_valid & (self.obs_cam == kf_id) & self.pt_valid[self.obs_pt]
+        return self.obs_pt[m], self.obs_uv[m]
+
+    def local_snapshot(self, kf_id: int):
+        """Fixed-shape tracking view of the landmarks a keyframe sees.
+
+        ≙ the local-map rebuild at a new keyframe (src/v2/main.py:336-345 +
+        map.py:60-69): arrays padded to `track_capacity` with a validity
+        mask, ready to feed the jitted tracking step.
+
+        Returns dict of jnp arrays: xyz (M,3), desc (M,8), uv (M,2),
+        pt_ids (M,), valid (M,).
+        """
+        ids, uvs = self.points_seen_by(kf_id)
+        M = self.config.track_capacity
+        n = min(len(ids), M)
+        xyz = np.zeros((M, 3), np.float32)
+        desc = np.zeros((M, 8), np.uint32)
+        uv = np.zeros((M, 2), np.float32)
+        pid = np.zeros(M, np.int32)
+        valid = np.zeros(M, bool)
+        xyz[:n] = self.pt_xyz[ids[:n]]
+        desc[:n] = self.pt_desc[ids[:n]]
+        uv[:n] = uvs[:n]
+        pid[:n] = ids[:n]
+        valid[:n] = True
+        return dict(
+            xyz=jnp.asarray(xyz),
+            desc=jnp.asarray(desc),
+            uv=jnp.asarray(uv),
+            pt_ids=jnp.asarray(pid),
+            valid=jnp.asarray(valid),
+        )
+
+    def cull_points(self, min_views: int = 3) -> int:
+        """Drop landmarks seen by fewer than `min_views` keyframes.
+
+        ≙ Map.DiscardOutlierMapPoints (map.py:124-131, called every 4th
+        keyframe from main.py:234-235). Returns number culled.
+        """
+        weak = self.pt_valid & (self.pt_views < min_views)
+        self.pt_valid[weak] = False
+        self.obs_valid &= ~weak[self.obs_pt]
+        return int(weak.sum())
+
+    # -- BA interface --
+
+    def to_ba_problem(self, intr: np.ndarray, fix_first: bool = True) -> ba_mod.BAProblem:
+        """Device view of the full map for bundle adjustment
+        (≙ the graph build in localBundleAdjustement, LocalBA.py:153-172)."""
+        cam_fixed = np.zeros(self.config.max_keyframes, bool)
+        cam_fixed[~self.kf_valid] = True
+        if fix_first:
+            cam_fixed[0] = True
+        w = (
+            self.obs_valid
+            & self.pt_valid[self.obs_pt]
+            & self.kf_valid[self.obs_cam]
+        ).astype(np.float32)
+        return ba_mod.BAProblem(
+            R=jnp.asarray(self.kf_R),
+            t=jnp.asarray(self.kf_t),
+            X=jnp.asarray(self.pt_xyz),
+            cam=jnp.asarray(self.obs_cam),
+            pnt=jnp.asarray(self.obs_pt),
+            uv=jnp.asarray(self.obs_uv),
+            w=jnp.asarray(w),
+            intr=jnp.asarray(intr),
+            cam_fixed=jnp.asarray(cam_fixed),
+        )
+
+    def update_from_ba(self, p: ba_mod.BAProblem) -> None:
+        """Write back optimized poses/landmarks
+        (≙ Map.UpdatePose/UpdatePoint3D, map.py:82-92)."""
+        self.kf_R = np.array(p.R)
+        self.kf_t = np.array(p.t)
+        self.pt_xyz = np.array(p.X)

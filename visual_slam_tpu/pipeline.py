@@ -1,0 +1,389 @@
+"""End-to-end SLAM pipeline: initialization, PnP tracking, keyframing,
+mapping, and bundle adjustment.
+
+TPU-native re-architecture of the reference driver `src/v2/main.py:53-353`:
+the same stage semantics and gates (SURVEY.md §3.1-3.4), but every per-frame
+computation is a fixed-shape jitted function; the host loop only does
+bookkeeping and keyframe-rate map management.
+
+Stage map (reference -> here):
+  map init (main.py:88-148)        -> Slam._try_initialize
+  tracking loop (main.py:173-221)  -> Slam._track  (jitted _track_step)
+  keyframe branch (main.py:221-345)-> Slam._insert_keyframe
+  local BA (LocalBA.py:143-190)    -> models.ba.optimize via map.to_ba_problem
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SlamConfig
+from .models import ba as ba_mod
+from .models import frontend
+from .models.map_state import SlamMap
+from .ops import lie, match, pnp, projection, triangulate, twoview
+
+
+@dataclass
+class FrameResult:
+    frame_idx: int
+    R_cw: np.ndarray
+    t_cw: np.ndarray
+    n_tracked: int
+    is_keyframe: bool
+
+
+@partial(jax.jit, static_argnames=("max_features",))
+def _extract(gray: jnp.ndarray, max_features: int):
+    return frontend.extract(gray, max_features)
+
+
+@partial(jax.jit, static_argnames=("n_hyps", "refine_iters"))
+def _track_step(
+    feats_desc,
+    feats_uv,
+    feats_valid,
+    snap_desc,
+    snap_xyz,
+    snap_valid,
+    prev_R,
+    prev_t,
+    intr,
+    key,
+    ratio,
+    max_hamming,
+    threshold_px,
+    n_hyps: int,
+    refine_iters: int,
+):
+    """One tracking step: match local map -> PnP-RANSAC -> GN refine.
+
+    ≙ main.py:180-214 (match_features + solvePnPRansac with extrinsic guess
+    + motionOnlyBundleAdjustement for the current frame).
+    Returns (R, t, inlier_mask_over_snapshot, match_idx2, n_inliers).
+    """
+    idx2, dist, good = match.match_ratio_test(
+        snap_desc, feats_desc, snap_valid, feats_valid, ratio=ratio, max_distance=max_hamming
+    )
+    uv_cur = feats_uv[idx2]
+    R, t, inliers, n_in = pnp.solve_pnp_ransac(
+        key,
+        snap_xyz,
+        uv_cur,
+        intr,
+        good,
+        guess_R=prev_R,
+        guess_t=prev_t,
+        n_hyps=n_hyps,
+        threshold_px=threshold_px,
+        refine_iters=refine_iters,
+    )
+    return R, t, inliers, idx2, n_in
+
+
+class Slam:
+    """The SLAM system. Feed frames via `process`; read `trajectory`."""
+
+    def __init__(self, config: SlamConfig | None = None):
+        self.cfg = config or SlamConfig()
+        self.map = SlamMap(self.cfg.map)
+        self.intr = jnp.asarray(self.cfg.intrinsics)
+        self.key = jax.random.PRNGKey(self.cfg.seed)
+        self.initialized = False
+        self.trajectory: list[FrameResult] = []
+        # init state
+        self._init_feats = None
+        self._init_frame_idx = None
+        # tracking state
+        self._snapshot = None
+        self._last_kf_id = None
+        self._last_kf_feats = None  # full features of last keyframe
+        self._last_kf_mapped = None  # bool per feature slot: already a landmark
+        self._prev_R = None
+        self._prev_t = None
+        self._frames_since_kf = 0
+        self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------ init
+
+    def process(self, frame_idx: int, gray: np.ndarray, depth: np.ndarray | None = None):
+        """Process one frame (grayscale float32 HxW in [0,1])."""
+        feats = _extract(jnp.asarray(gray), self.cfg.frontend.max_features)
+        if not self.initialized:
+            self._try_initialize(frame_idx, feats, depth)
+        else:
+            self._track(frame_idx, feats, depth)
+
+    def _try_initialize(self, frame_idx, feats, depth):
+        cfg = self.cfg
+        if self._init_feats is None:
+            self._init_feats = feats
+            self._init_frame_idx = frame_idx
+            self._init_depth = depth
+            self.trajectory.append(
+                FrameResult(frame_idx, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 0, True)
+            )
+            return
+        f0, f1 = self._init_feats, feats
+        idx2, dist, good = match.match_ratio_test(
+            f0.desc, f1.desc, f0.valid, f1.valid,
+            ratio=cfg.frontend.match_ratio, max_distance=cfg.frontend.max_hamming,
+        )
+        n_matches = int(good.sum())
+        if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
+            return
+        uv1 = f0.uv
+        uv2 = f1.uv[idx2]
+        E, inl, n_in = twoview.estimate_essential_ransac(
+            self._next_key(), uv1, uv2, self.intr, good,
+            threshold=cfg.twoview.ess_threshold_factor / float(self.intr[0]),
+            n_hyps=cfg.twoview.ransac_hypotheses,
+        )
+        R, t, X1, cheir, frac = twoview.estimate_relative_pose(
+            E, uv1, uv2, self.intr, inl, cfg.twoview.distance_thresh
+        )
+        if float(frac) < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
+            return
+        # Accepted: frame0 = world origin keyframe, this frame = keyframe 1.
+        R0 = np.eye(3, dtype=np.float32)
+        t0 = np.zeros(3, np.float32)
+        R1, t1 = np.asarray(R), np.asarray(t)
+        kf0 = self.map.add_keyframe(R0, t0, self._init_frame_idx)
+        kf1 = self.map.add_keyframe(R1, t1, frame_idx)
+        good_np = np.asarray(cheir)
+        X_np = np.asarray(X1)  # cam0 == world frame
+        sel = np.where(good_np)[0]
+        idx2_np = np.asarray(idx2)
+        pt_ids = self.map.add_points(X_np[sel], np.asarray(f1.desc)[idx2_np[sel]])
+        self.map.add_observations(kf0, pt_ids, np.asarray(uv1)[sel])
+        self.map.add_observations(kf1, pt_ids, np.asarray(uv2)[sel])
+        # Mark mapped features of the new keyframe (for new-point mining).
+        mapped = np.zeros(self.cfg.frontend.max_features, bool)
+        mapped[idx2_np[sel]] = True
+        # Full BA with monocular median-depth gauge (≙ main.py:145-148).
+        self._run_full_ba(scale_gauge=cfg.ba.scale_gauge_on_init)
+        self._finish_keyframe(kf1, feats, mapped, frame_idx)
+        self.initialized = True
+        self.stats["init_frame"] = frame_idx
+        self.trajectory.append(
+            FrameResult(frame_idx, self.map.kf_R[kf1], self.map.kf_t[kf1], n_matches, True)
+        )
+
+    # ------------------------------------------------------------------ track
+
+    def _track(self, frame_idx, feats, depth):
+        cfg = self.cfg
+        snap = self._snapshot
+        R, t, inliers, idx2, n_in = _track_step(
+            feats.desc,
+            feats.uv,
+            feats.valid,
+            snap["desc"],
+            snap["xyz"],
+            snap["valid"],
+            jnp.asarray(self._prev_R),
+            jnp.asarray(self._prev_t),
+            self.intr,
+            self._next_key(),
+            cfg.frontend.match_ratio,
+            cfg.frontend.max_hamming,
+            cfg.tracking.pnp_threshold_px,
+            n_hyps=cfg.tracking.pnp_hypotheses,
+            refine_iters=cfg.tracking.refine_iters,
+        )
+        n_tracked = int(n_in)
+        if n_tracked < cfg.tracking.min_tracked_points:
+            # Tracking failure: keep previous pose (constant-position fallback).
+            R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
+        else:
+            R_np, t_np = np.asarray(R), np.asarray(t)
+            self._prev_R, self._prev_t = R_np, t_np
+        self._frames_since_kf += 1
+        n_local = int(np.asarray(snap["valid"]).sum())
+        # Keyframe rule ≙ main.py:221.
+        is_kf = (
+            self._frames_since_kf > cfg.keyframe.max_interval
+            or n_tracked < cfg.keyframe.min_tracked
+        ) and n_tracked < cfg.keyframe.tracked_ratio * max(n_local, 1)
+        is_kf = is_kf and n_tracked >= cfg.tracking.min_tracked_points
+        if is_kf:
+            self._insert_keyframe(frame_idx, feats, R_np, t_np, inliers, idx2)
+        self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
+
+    # --------------------------------------------------------------- keyframe
+
+    def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2):
+        cfg = self.cfg
+        kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
+        self.stats["keyframes"] += 1
+        snap = self._snapshot
+        inl_np = np.asarray(inliers)
+        idx2_np = np.asarray(idx2)
+        # Tracked landmarks gain an observation in the new keyframe
+        # (≙ main.py:232).
+        sel = np.where(inl_np)[0]
+        pt_ids = np.asarray(snap["pt_ids"])[sel]
+        uv_cur = np.asarray(feats.uv)[idx2_np[sel]]
+        desc_cur = np.asarray(feats.desc)[idx2_np[sel]]
+        self.map.add_observations(kf_id, pt_ids, uv_cur, desc_cur)
+        mapped = np.zeros(cfg.frontend.max_features, bool)
+        mapped[idx2_np[sel]] = True
+        # Cull weak landmarks every 4th keyframe (≙ main.py:234-235).
+        if kf_id >= cfg.keyframe.cull_after and kf_id % cfg.keyframe.cull_every == 0:
+            self.stats["culled"] += self.map.cull_points(cfg.keyframe.cull_min_views)
+        # Mine new landmarks between the last two keyframes (≙ main.py:237-318).
+        self._mine_new_points(kf_id, feats, mapped)
+        # Full bundle adjustment over the map (≙ main.py:322-323).
+        self._run_full_ba(scale_gauge=False)
+        self._finish_keyframe(kf_id, feats, mapped, frame_idx)
+
+    def _mine_new_points(self, kf_id, feats, mapped_cur):
+        """Triangulate unmapped matches between the previous and new keyframe."""
+        cfg = self.cfg
+        prev_feats = self._last_kf_feats
+        prev_mapped = self._last_kf_mapped
+        # Unmapped = detected in prev KF but not yet a landmark (≙ GetListDiff,
+        # helper_functions.py:316-326).
+        avail1 = np.asarray(prev_feats.valid) & ~prev_mapped
+        idx2, dist, good = match.match_ratio_test(
+            prev_feats.desc, feats.desc,
+            jnp.asarray(avail1), feats.valid,
+            ratio=cfg.frontend.match_ratio, max_distance=cfg.frontend.max_hamming,
+        )
+        good_np = np.array(good)
+        # Don't re-map features already matched to existing landmarks.
+        idx2_np = np.asarray(idx2)
+        good_np &= ~mapped_cur[idx2_np]
+        if good_np.sum() == 0:
+            return
+        prev_id = self._last_kf_id
+        T1 = lie.make_T(jnp.asarray(self.map.kf_R[prev_id]), jnp.asarray(self.map.kf_t[prev_id]))
+        T2 = lie.make_T(jnp.asarray(self.map.kf_R[kf_id]), jnp.asarray(self.map.kf_t[kf_id]))
+        P1 = projection.projection_matrix(T1, self.intr)
+        P2 = projection.projection_matrix(T2, self.intr)
+        uv1 = prev_feats.uv
+        uv2 = feats.uv[idx2]
+        Xh = triangulate.triangulate_dlt(P1, P2, uv1, uv2)
+        X = triangulate.dehomogenize(Xh)
+        # Cheirality + depth + reprojection gates (≙ main.py:291-309, with a
+        # reprojection check instead of the reference's debug prints).
+        X1c = lie.transform_points(T1, X[None])[0]
+        X2c = lie.transform_points(T2, X[None])[0]
+        pr1, z1 = projection.project(T1[:3, :3], T1[:3, 3], X, self.intr)
+        pr2, z2 = projection.project(T2[:3, :3], T2[:3, 3], X, self.intr)
+        reproj_ok = (
+            (jnp.sum((pr1 - uv1) ** 2, -1) < cfg.keyframe.triangulation_reproj_px**2)
+            & (jnp.sum((pr2 - uv2) ** 2, -1) < cfg.keyframe.triangulation_reproj_px**2)
+        )
+        depth_ok = (z1 > 0) & (z2 > 0) & (z1 < cfg.keyframe.max_new_depth) & (z2 < cfg.keyframe.max_new_depth)
+        keep = np.asarray(reproj_ok & depth_ok) & good_np
+        sel = np.where(keep)[0]
+        if len(sel) == 0:
+            return
+        X_np = np.asarray(X)
+        pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
+        self.map.add_observations(prev_id, pt_ids, np.asarray(uv1)[sel])
+        self.map.add_observations(kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]])
+        mapped_cur[idx2_np[sel]] = True
+
+    def _run_full_ba(self, scale_gauge: bool):
+        cfg = self.cfg
+        prob = self.map.to_ba_problem(self.cfg.intrinsics)
+        prob, cost = ba_mod.optimize(
+            prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
+        )
+        if scale_gauge:
+            prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
+        self.map.update_from_ba(prob)
+        self.stats["ba_runs"] += 1
+
+    def _finish_keyframe(self, kf_id, feats, mapped, frame_idx):
+        """Reset tracking state around a new keyframe (≙ main.py:330-345)."""
+        self._last_kf_id = kf_id
+        self._last_kf_feats = feats
+        self._last_kf_mapped = mapped
+        self._snapshot = self.map.local_snapshot(kf_id)
+        self._prev_R = self.map.kf_R[kf_id].copy()
+        self._prev_t = self.map.kf_t[kf_id].copy()
+        self._frames_since_kf = 0
+        # Update the stored trajectory entry for this keyframe with the
+        # BA-optimized pose.
+        for fr in reversed(self.trajectory):
+            if fr.frame_idx == frame_idx:
+                fr.R_cw = self.map.kf_R[kf_id].copy()
+                fr.t_cw = self.map.kf_t[kf_id].copy()
+                break
+
+    # ------------------------------------------------------------------ eval
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """(frame_indices (N,), camera centres (N,3)) of the trajectory."""
+        idxs = np.array([f.frame_idx for f in self.trajectory])
+        R = np.stack([f.R_cw for f in self.trajectory])
+        t = np.stack([f.t_cw for f in self.trajectory])
+        centres = -np.einsum("nji,nj->ni", R, t)
+        return idxs, centres
+
+
+def run_sequence(dataset, config: SlamConfig | None = None, start=0, stop=None, verbose=False):
+    """Run SLAM over a dataset; returns the Slam object."""
+    slam = Slam(config)
+    for i, gray, depth in dataset.frames(start, stop):
+        slam.process(i, gray, depth)
+        if verbose and i % 25 == 0:
+            last = slam.trajectory[-1] if slam.trajectory else None
+            print(
+                f"frame {i}: tracked={getattr(last, 'n_tracked', 0)} "
+                f"kf={slam.stats['keyframes']} pts={slam.map.n_pt} init={slam.initialized}"
+            )
+    return slam
+
+
+def main():
+    import argparse, json, time
+
+    ap = argparse.ArgumentParser(description="TPU-native visual SLAM")
+    ap.add_argument("--data", default="/root/reference/data/ICL_NUIM")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--features", type=int, default=1024)
+    ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from .utils.dataset import ICLNUIMDataset
+    from .utils import evaluate
+
+    ds = ICLNUIMDataset(args.data)
+    cfg = SlamConfig()
+    cfg.frontend.max_features = args.features
+    t0 = time.time()
+    slam = run_sequence(ds, cfg, args.start, args.start + args.frames, verbose=args.verbose)
+    dt = time.time() - t0
+    idxs, est = slam.positions()
+    out = {
+        "frames": len(idxs),
+        "fps": len(idxs) / dt,
+        "keyframes": slam.stats["keyframes"],
+        "points": int(slam.map.pt_valid.sum()),
+        "init_frame": slam.stats["init_frame"],
+    }
+    gt = ds.ground_truth()
+    if gt is not None:
+        gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
+        rmse, _ = evaluate.ate_rmse(est, gt_pos, align_scale=True)
+        out["ate_rmse_m"] = rmse
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

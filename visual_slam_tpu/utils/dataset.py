@@ -1,0 +1,117 @@
+"""ICL-NUIM / TUM-RGBD dataset reader.
+
+TPU-native framework's data layer for the reference's bundled dataset
+(`data/ICL_NUIM`: associations.txt, rgb/, depth/ 16-bit PNG at scale 5000,
+traj3.gt.freiburg TUM-format ground truth — see SURVEY.md §1 "Data layer").
+The reference hard-codes paths and reads images ad hoc per frame
+(src/v2/frame.py:52-55, with the depth-read bug noted in SURVEY §2.1 #4);
+here the reader is explicit, returns float32 metric depth, and parses the
+TUM ground truth the reference never reads (SURVEY §4).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+DEPTH_SCALE = 5000.0  # TUM/ICL 16-bit PNG convention (src/testing.py cell 2)
+ICL_INTRINSICS = np.array([481.20, 480.0, 319.5, 239.5], dtype=np.float32)
+TUM_FR3_INTRINSICS = np.array([535.4, 539.2, 320.1, 247.6], dtype=np.float32)
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+@dataclass
+class Association:
+    index: int
+    depth_path: str
+    rgb_path: str
+
+
+@dataclass
+class ICLNUIMDataset:
+    """Reader for the ICL-NUIM living-room layout the reference bundles."""
+
+    root: str
+    gt_file: str | None = None
+    associations: list[Association] = field(default_factory=list)
+    intrinsics: np.ndarray = field(default_factory=lambda: ICL_INTRINSICS.copy())
+
+    def __post_init__(self):
+        assoc_path = os.path.join(self.root, "associations.txt")
+        with open(assoc_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue
+                self.associations.append(
+                    Association(
+                        index=int(parts[0]),
+                        depth_path=os.path.join(self.root, parts[1]),
+                        rgb_path=os.path.join(self.root, parts[3]),
+                    )
+                )
+        if self.gt_file is None:
+            cand = os.path.join(self.root, "traj3.gt.freiburg")
+            if os.path.exists(cand):
+                self.gt_file = cand
+
+    def __len__(self) -> int:
+        return len(self.associations)
+
+    def rgb(self, i: int) -> np.ndarray:
+        """(H,W,3) uint8."""
+        return _imread(self.associations[i].rgb_path)
+
+    def depth(self, i: int) -> np.ndarray:
+        """(H,W) float32 metres (16-bit PNG / 5000); 0 = missing."""
+        raw = _imread(self.associations[i].depth_path).astype(np.float32)
+        return raw / DEPTH_SCALE
+
+    def gray(self, i: int) -> np.ndarray:
+        """(H,W) float32 grayscale in [0,1]."""
+        rgb = self.rgb(i).astype(np.float32) / 255.0
+        return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+    def frames(self, start: int = 0, stop: int | None = None) -> Iterator[tuple[int, np.ndarray, np.ndarray]]:
+        stop = stop if stop is not None else len(self)
+        for i in range(start, stop):
+            yield i, self.gray(i), self.depth(i)
+
+    def ground_truth(self) -> np.ndarray | None:
+        """(N, 4, 4) cam->world poses from the TUM-format file, or None.
+
+        File format: `idx tx ty tz qx qy qz qw` per line
+        (data/ICL_NUIM/traj3.gt.freiburg; first index is 1).
+        """
+        if self.gt_file is None:
+            return None
+        rows = np.loadtxt(self.gt_file)
+        return tum_rows_to_matrices(rows)
+
+
+def tum_rows_to_matrices(rows: np.ndarray) -> np.ndarray:
+    """TUM rows (N,8) -> (N,4,4) cam->world homogeneous transforms."""
+    t = rows[:, 1:4]
+    q = rows[:, 4:8]  # qx qy qz qw
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    n = x * x + y * y + z * z + w * w
+    s = np.where(n > 0, 2.0 / np.maximum(n, 1e-12), 0.0)
+    R = np.stack(
+        [
+            1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w),
+            s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w),
+            s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    T = np.tile(np.eye(4), (len(rows), 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = t
+    return T.astype(np.float64)
