@@ -94,8 +94,12 @@ def _residuals_and_jacobians(p: BAProblem):
     return r, Jc, Jp, w_irls
 
 
-def _cost(p: BAProblem) -> jnp.ndarray:
-    """Robust (Huber) total cost."""
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _cost(p: BAProblem, axis_name=None) -> jnp.ndarray:
+    """Robust (Huber) total cost (psum-reduced over observation shards)."""
     r, _, _, _ = _residuals_and_jacobians(p)
     rn2 = jnp.sum(r * r, axis=-1)
     rn = jnp.sqrt(rn2 + 1e-12)
@@ -104,7 +108,7 @@ def _cost(p: BAProblem) -> jnp.ndarray:
     )
     # Validity only — robustness is in rho itself.
     zmask = _depth_mask(p)
-    return jnp.sum(p.w * zmask * rho)
+    return _psum(jnp.sum(p.w * zmask * rho), axis_name)
 
 
 def _depth_mask(p: BAProblem) -> jnp.ndarray:
@@ -114,7 +118,7 @@ def _depth_mask(p: BAProblem) -> jnp.ndarray:
     return (Xc[:, 2] > 1e-6).astype(p.w.dtype)
 
 
-def _build_blocks(p: BAProblem, lm_lambda):
+def _build_blocks(p: BAProblem, lm_lambda, axis_name=None):
     """Hessian blocks and gradients of the normal equations.
 
     U (K,6,6), V (P,3,3) (damped), g_c (K,6), g_p (P,3), plus the
@@ -135,6 +139,13 @@ def _build_blocks(p: BAProblem, lm_lambda):
     )
     g_c = jnp.zeros((K, 6), r.dtype).at[p.cam].add(jnp.einsum("oik,oi->ok", wJc, r))
     g_p = jnp.zeros((P, 3), r.dtype).at[p.pnt].add(jnp.einsum("oik,oi->ok", wJp, r))
+    # Observation-sharded execution: each shard built partial blocks from its
+    # slice of the table; all-reduce them (the "psum of reduced camera
+    # systems" design, SURVEY.md §2.3).
+    U = _psum(U, axis_name)
+    V = _psum(V, axis_name)
+    g_c = _psum(g_c, axis_name)
+    g_p = _psum(g_p, axis_name)
     # LM damping (multiplicative on the diagonal, g2o-style).
     eyeK = jnp.eye(6, dtype=r.dtype)
     eyeP = jnp.eye(3, dtype=r.dtype)
@@ -148,7 +159,7 @@ def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
     return x * (~cam_fixed)[:, None].astype(x.dtype)
 
 
-def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed):
+def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed, axis_name=None):
     """y = S x with S = U - W V^{-1} W^T applied implicitly.
 
     W_ip = sum_obs Jc^T w Jp over observations of (cam i, point p); the
@@ -161,12 +172,14 @@ def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed):
     # a_o = (w Jp)^T Jc x_cam(o): (O,3)
     Jc_x = jnp.einsum("oik,ok->oi", Jc, x[cam])  # (O,2)
     a = jnp.einsum("oik,oi,o->ok", Jp, Jc_x, w)  # (O,3)
-    b = jnp.zeros((V_inv.shape[0], 3), x.dtype).at[pnt].add(a)  # W^T x per point
+    b = _psum(
+        jnp.zeros((V_inv.shape[0], 3), x.dtype).at[pnt].add(a), axis_name
+    )  # W^T x per point
     c = jnp.einsum("pij,pj->pi", V_inv, b)  # V^{-1} W^T x
     # d_o = Jc^T w Jp c_pnt(o): (O,6)
     Jp_c = jnp.einsum("oik,ok->oi", Jp, c[pnt])  # (O,2)
     d = jnp.einsum("oik,oi,o->ok", Jc, Jp_c, w)  # (O,6)
-    y = y - jnp.zeros_like(y).at[cam].add(d)
+    y = y - _psum(jnp.zeros_like(y).at[cam].add(d), axis_name)
     return _mask_cam(y, cam_fixed)
 
 
@@ -227,9 +240,9 @@ def _pcg(matvec, precond, b, n_iters: int):
     return x
 
 
-def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool):
+def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axis_name=None):
     """One damped normal-equation solve: returns (delta_c (K,6), delta_p (P,3))."""
-    U_d, V_d, g_c, g_p, (r, Jc, Jp, w) = _build_blocks(p, lm_lambda)
+    U_d, V_d, g_c, g_p, (r, Jc, Jp, w) = _build_blocks(p, lm_lambda, axis_name)
     g_c = _mask_cam(g_c, p.cam_fixed)
 
     if points_fixed:
@@ -243,13 +256,15 @@ def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool):
     Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)  # (P,3)
     Jp_vg = jnp.einsum("oik,ok->oi", Jp, Vg[p.pnt])  # (O,2)
     Wvg = jnp.einsum("oik,oi,o->ok", Jc, Jp_vg, w)  # (O,6)
-    b = -(g_c - jnp.zeros_like(g_c).at[p.cam].add(Wvg))
+    b = -(g_c - _psum(jnp.zeros_like(g_c).at[p.cam].add(Wvg), axis_name))
     b = _mask_cam(b, p.cam_fixed)
 
     U_inv = _inv6(U_d)
 
     def matvec(x):
-        return _schur_matvec(x, U_d, V_inv, Jc, Jp, w, p.cam, p.pnt, p.cam_fixed)
+        return _schur_matvec(
+            x, U_d, V_inv, Jc, Jp, w, p.cam, p.pnt, p.cam_fixed, axis_name
+        )
 
     def precond(x):
         return _mask_cam(jnp.einsum("kij,kj->ki", U_inv, x), p.cam_fixed)
@@ -258,7 +273,7 @@ def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool):
     # Back-substitute landmarks: delta_p = -V^{-1} (g_p + W^T delta_c).
     Jc_dc = jnp.einsum("oik,ok->oi", Jc, delta_c[p.cam])  # (O,2)
     Wt_dc = jnp.einsum("oik,oi,o->ok", Jp, Jc_dc, w)  # (O,3)
-    rhs = g_p + jnp.zeros_like(g_p).at[p.pnt].add(Wt_dc)
+    rhs = g_p + _psum(jnp.zeros_like(g_p).at[p.pnt].add(Wt_dc), axis_name)
     delta_p = -jnp.einsum("pij,pj->pi", V_inv, rhs)
     return delta_c, delta_p
 
@@ -270,13 +285,16 @@ def _apply(p: BAProblem, delta_c, delta_p) -> BAProblem:
     return p._replace(R=R_new, t=t_new, X=p.X + delta_p)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "points_fixed"))
+@partial(
+    jax.jit, static_argnames=("n_iters", "cg_iters", "points_fixed", "axis_name")
+)
 def optimize(
     p: BAProblem,
     n_iters: int = 10,
     cg_iters: int = 24,
     points_fixed: bool = False,
     init_lambda: float = 1e-4,
+    axis_name: str | None = None,
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Levenberg-Marquardt loop (≙ optimizer.optimize(10), LocalBA.py:39-42).
 
@@ -286,9 +304,9 @@ def optimize(
 
     def step(carry, _):
         prob, lam, cost = carry
-        delta_c, delta_p = _solve_delta(prob, lam, cg_iters, points_fixed)
+        delta_c, delta_p = _solve_delta(prob, lam, cg_iters, points_fixed, axis_name)
         cand = _apply(prob, delta_c, delta_p)
-        new_cost = _cost(cand)
+        new_cost = _cost(cand, axis_name)
         improved = new_cost < cost
         prob = jax.tree.map(
             lambda a, b: jnp.where(improved, a, b), cand, prob
@@ -298,7 +316,7 @@ def optimize(
         lam = jnp.clip(lam, 1e-8, 1e2)
         return (prob, lam, cost), cost
 
-    cost0 = _cost(p)
+    cost0 = _cost(p, axis_name)
     (p_out, _, cost_out), _ = jax.lax.scan(
         step, (p, jnp.asarray(init_lambda, p.R.dtype), cost0), None, length=n_iters
     )

@@ -43,6 +43,16 @@ def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
 extract_batch = jax.vmap(extract, in_axes=(0, None))
 
 
+@partial(jax.jit, static_argnames=("max_features",))
+def extract_rgb(rgb_u8: jnp.ndarray, max_features: int = 1024) -> Features:
+    """Front-end from a device-resident (H,W,3) uint8 image.
+
+    Grayscale conversion happens on-device so the host->device transfer is
+    the raw 0.9 MB uint8 frame, not a 1.2 MB float gray (HBM-bandwidth and
+    PCIe/tunnel friendly)."""
+    return extract(to_gray(rgb_u8), max_features)
+
+
 def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
     """(H,W,3) uint8/float RGB -> (H,W) float32 grayscale in [0,1]."""
     img = rgb.astype(jnp.float32)

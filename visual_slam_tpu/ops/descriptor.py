@@ -35,6 +35,12 @@ def _make_pattern() -> np.ndarray:
 
 
 PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) — (pair, endpoint, xy)
+# Lane-friendly flattening: [256 first endpoints, 256 second endpoints].
+# TPU arrays want a large minor dimension (lane = 128); shapes like
+# (K, 256, 2) put 2 in the lanes and waste 98% of the VPU, so all sampling
+# math below runs on (K, 512) instead.
+_PX = jnp.concatenate([PATTERN[:, 0, 0], PATTERN[:, 1, 0]])  # (512,)
+_PY = jnp.concatenate([PATTERN[:, 0, 1], PATTERN[:, 1, 1]])  # (512,)
 
 
 def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -72,17 +78,16 @@ def describe(
       uv: (K,2) keypoint pixel coords. theta: (K,) orientations (radians).
     Returns:
       (K, 8) uint32 packed descriptors.
+
+    All intermediates are (K, 512) — see the layout note at _PX above.
     """
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # Rotate the pattern per keypoint: (K, 256, 2, 2).
-    px = PATTERN[..., 0][None]  # (1,256,2)
-    py = PATTERN[..., 1][None]
-    rx = c[:, None, None] * px - s[:, None, None] * py
-    ry = s[:, None, None] * px + c[:, None, None] * py
-    xs = uv[:, 0][:, None, None] + rx
-    ys = uv[:, 1][:, None, None] + ry
-    vals = _bilinear(img_blurred, xs, ys)  # (K,256,2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K,256)
+    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]  # (K,1)
+    rx = c * _PX[None, :] - s * _PY[None, :]  # (K,512)
+    ry = s * _PX[None, :] + c * _PY[None, :]
+    xs = uv[:, 0:1] + rx
+    ys = uv[:, 1:2] + ry
+    vals = _bilinear(img_blurred, xs, ys)  # (K,512)
+    bits = (vals[:, :N_BITS] < vals[:, N_BITS:]).astype(jnp.uint32)  # (K,256)
     bits = bits.reshape(bits.shape[0], N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # (K,8)

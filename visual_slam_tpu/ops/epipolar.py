@@ -15,9 +15,10 @@ convention as cv2.findEssentialMat/recoverPose.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from . import triangulate as tri
+from . import linalg as linalg_mod, triangulate as tri
 
 
 def _homog(xn: jnp.ndarray) -> jnp.ndarray:
@@ -62,12 +63,10 @@ def eight_point_essential(
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
     )  # (...,N,9)
-    # Weight rows by sqrt(w) (weighted least squares) and take the right
-    # singular vector of A directly: forming A^T A would square the
-    # condition number, which float32 on TPU cannot afford.
-    A = A * jnp.sqrt(weights[..., None] + 0.0)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    e = Vt[..., -1, :]
+    # Weighted homogeneous solve via row-normalized Gram + eigh (TPU-fast;
+    # the Hartley normalization above keeps the squared conditioning inside
+    # float32 — see ops.linalg).
+    e = linalg_mod.solve_weighted_homogeneous(A, jnp.sqrt(weights + 0.0))
     E = e.reshape(e.shape[:-1] + (3, 3))
     # Denormalize: E = T2^T En T1 with Ti = [[si,0,-si*mui]; [0,0,1]].
     def _T(s, mu):
@@ -123,6 +122,75 @@ def sampson_error_sq(
     num = jnp.einsum("...ni,...ni->...n", X2, Ex1) ** 2
     den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
     return num / (den + 1e-12)
+
+
+def refine_essential_gn(
+    E0: jnp.ndarray,
+    xn1: jnp.ndarray,
+    xn2: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_iters: int = 5,
+) -> jnp.ndarray:
+    """Refine an essential matrix by Gauss-Newton on the Sampson error over
+    its minimal (R, t) parameterization (5 DOF: so(3) x tangent-of-S2).
+
+    This replaces large-SVD least-squares refits: float32 Gram/SVD solves on
+    TPU cannot reach the precision the inlier classification needs, while a
+    manifold GN iteration is cheap (einsums + one 5x5 solve per iteration)
+    and lands at the geometric optimum. Robustness comes from the caller's
+    IRLS weights.
+    """
+    from . import lie as lie_mod
+
+    # Seed (R, t) from the cheirality-voted decomposition of E0.
+    R_w, t_w, _, _, _ = recover_pose(E0, xn1, xn2, weights > 0)
+
+    X1 = _homog(xn1)  # (N,3)
+    X2 = _homog(xn2)
+
+    def sampson_residual(R, t):
+        E = lie_mod.hat(t) @ R
+        Ex1 = X1 @ E.T  # (N,3)
+        Etx2 = X2 @ E
+        num = jnp.sum(X2 * Ex1, axis=-1)
+        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        return num / jnp.sqrt(den + 1e-12)
+
+    def params_to_Rt(p, R_base, t_base, B):
+        R = lie_mod.so3_exp(p[:3]) @ R_base
+        t = t_base + B @ p[3:5]
+        t = t / (jnp.linalg.norm(t) + 1e-12)
+        return R, t
+
+    def step(carry, _):
+        R_base, t_base = carry
+        # Tangent basis of S2 at t_base.
+        a = jnp.where(
+            jnp.abs(t_base[0]) < 0.9,
+            jnp.asarray([1.0, 0.0, 0.0], t_base.dtype),
+            jnp.asarray([0.0, 1.0, 0.0], t_base.dtype),
+        )
+        b1 = jnp.cross(t_base, a)
+        b1 = b1 / (jnp.linalg.norm(b1) + 1e-12)
+        b2 = jnp.cross(t_base, b1)
+        B = jnp.stack([b1, b2], axis=-1)  # (3,2)
+
+        def res_fn(p):
+            R, t = params_to_Rt(p, R_base, t_base, B)
+            return sampson_residual(R, t)
+
+        p0 = jnp.zeros(5, dtype=t_base.dtype)
+        r = res_fn(p0)
+        J = jax.jacfwd(res_fn)(p0)  # (N,5)
+        wJ = J * weights[:, None]
+        H = wJ.T @ J + 1e-8 * jnp.eye(5, dtype=J.dtype)
+        g = wJ.T @ r
+        p = -jnp.linalg.solve(H, g)
+        R_new, t_new = params_to_Rt(p, R_base, t_base, B)
+        return (R_new, t_new), None
+
+    (R, t), _ = jax.lax.scan(step, (R_w, t_w), None, length=n_iters)
+    return lie_mod.hat(t) @ R
 
 
 def decompose_essential(

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import lie, projection, ransac as ransac_mod
+from . import lie, linalg as linalg_mod, projection, ransac as ransac_mod
 
 
 def pnp_dlt(Xw: jnp.ndarray, xn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -36,10 +36,7 @@ def pnp_dlt(Xw: jnp.ndarray, xn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     rows_u = jnp.concatenate([Xh, zeros, -x * Xh], axis=-1)  # (S,12)
     rows_v = jnp.concatenate([zeros, Xh, -y * Xh], axis=-1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2S,12)
-    # Right singular vector of A (not eigh of A^T A: squaring the condition
-    # number is not float32-safe).
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    P = Vt[-1].reshape(3, 4)
+    P = linalg_mod.solve_homogeneous(A).reshape(3, 4)
     # Sign: majority of points must have positive depth.
     z = Xh @ P[2]
     P = P * jnp.sign(jnp.sum(jnp.sign(z)) + 0.5)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import linalg as linalg_mod
+
 
 def triangulate_dlt(
     P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
@@ -33,11 +35,9 @@ def triangulate_dlt(
     r3 = uv2[..., 0:1] * P2[2] - P2[0]
     r4 = uv2[..., 1:2] * P2[2] - P2[1]
     A = jnp.stack([r1, r2, r3, r4], axis=-2)  # (N,4,4)
-    # Batched SVD of the 4x4 systems; right singular vector of the smallest
-    # singular value. (Not eigh of A^T A — squaring the condition number is
-    # not float32-safe on TPU.)
-    _, _, Vt = jnp.linalg.svd(A)
-    return Vt[..., -1, :]
+    # Row-normalized Gram + eigh (TPU-fast batched Jacobi; row normalization
+    # tames the ~f-scale rows of pixel-space projection matrices).
+    return linalg_mod.solve_homogeneous(A)
 
 
 def triangulate_dlt_pairwise(
@@ -49,8 +49,7 @@ def triangulate_dlt_pairwise(
     r3 = uv2[..., 0:1] * P2[..., 2, :] - P2[..., 0, :]
     r4 = uv2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :]
     A = jnp.stack([r1, r2, r3, r4], axis=-2)
-    _, _, Vt = jnp.linalg.svd(A)
-    return Vt[..., -1, :]
+    return linalg_mod.solve_homogeneous(A)
 
 
 def dehomogenize(Xh: jnp.ndarray) -> jnp.ndarray:

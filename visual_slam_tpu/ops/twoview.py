@@ -52,17 +52,19 @@ def estimate_essential_ransac(
         set_size=8,
         threshold_sq=threshold**2,
     )
-    # Iterated robust refits on the inlier set (LO-RANSAC style). Plain
-    # least squares is not enough: a handful of just-under-threshold
-    # outliers dominates the algebraic cost, so each refit reweights rows
-    # by the inverse geometric residual (IRLS with a Cauchy-style weight).
+    # Local optimization: Gauss-Newton on the (R,t) manifold over the inlier
+    # set (Sampson error). Float32 linear refits cannot reach the precision
+    # the inlier classification needs (see refine_essential_gn); the manifold
+    # GN lands at the geometric optimum with no large SVD.
     th_sq = threshold**2
-    res = 0.5 * epipolar.epipolar_distance_sq(E, xn1, xn2)
     for _ in range(3):
-        w = inliers.astype(xn1.dtype) / jnp.sqrt(res + 0.01 * th_sq)
-        E = epipolar.eight_point_essential(xn1, xn2, w)
+        E = epipolar.refine_essential_gn(
+            E, xn1, xn2, inliers.astype(xn1.dtype), n_iters=4
+        )
         res = 0.5 * epipolar.epipolar_distance_sq(E, xn1, xn2)
         inliers = (res < th_sq) & mask
+    # One last refine on the final (largest) inlier set.
+    E = epipolar.refine_essential_gn(E, xn1, xn2, inliers.astype(xn1.dtype), n_iters=4)
     return E, inliers, jnp.sum(inliers)
 
 

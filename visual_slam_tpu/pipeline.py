@@ -115,8 +115,13 @@ class Slam:
     # ------------------------------------------------------------------ init
 
     def process(self, frame_idx: int, gray: np.ndarray, depth: np.ndarray | None = None):
-        """Process one frame (grayscale float32 HxW in [0,1])."""
-        feats = _extract(jnp.asarray(gray), self.cfg.frontend.max_features)
+        """Process one frame: grayscale float32 (H,W) in [0,1], or RGB uint8
+        (H,W,3) — the latter is converted on-device (cheaper transfer)."""
+        img = jnp.asarray(gray)
+        if img.ndim == 3:
+            feats = frontend.extract_rgb(img, self.cfg.frontend.max_features)
+        else:
+            feats = _extract(img, self.cfg.frontend.max_features)
         if not self.initialized:
             self._try_initialize(frame_idx, feats, depth)
         else:
