@@ -1,0 +1,96 @@
+"""Pose-graph optimization + g2o IO tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from visual_slam_tpu.models import pose_graph
+from visual_slam_tpu.ops import lie
+
+
+def make_chain(rng, K=8, drift=0.05):
+    """GT chain of poses + noisy initialization."""
+    R_gt = [np.eye(3, dtype=np.float32)]
+    t_gt = [np.zeros(3, np.float32)]
+    for k in range(1, K):
+        w = rng.normal(scale=0.1, size=3).astype(np.float32)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        R_gt.append(dR @ R_gt[-1])
+        t_gt.append(np.asarray(dR @ t_gt[-1] + rng.normal(scale=0.3, size=3).astype(np.float32)))
+    R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+    R0, t0 = R_gt.copy(), t_gt.copy()
+    for k in range(1, K):
+        dw = rng.normal(scale=drift, size=3).astype(np.float32)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(dw)))
+        R0[k] = dR @ R_gt[k]
+        t0[k] = t_gt[k] + rng.normal(scale=drift, size=3).astype(np.float32)
+    return R_gt, t_gt, R0, t0
+
+
+def test_pose_graph_converges_to_measurements(rng):
+    K = 8
+    R_gt, t_gt, R0, t0 = make_chain(rng, K)
+    # Edges measured from GT; start from the perturbed poses.
+    g_gt = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )
+    g = g_gt._replace(R=jnp.asarray(R0), t=jnp.asarray(t0))
+    R_out, t_out, cost = pose_graph.optimize(g, n_iters=15)
+    # With exact chain measurements and pose 0 fixed, the chain must snap
+    # back to ground truth.
+    np.testing.assert_allclose(np.asarray(R_out), R_gt, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_out), t_gt, atol=1e-2)
+    assert float(cost) < 1e-6
+
+
+def test_pose_graph_respects_fixed(rng):
+    K = 6
+    R_gt, t_gt, R0, t0 = make_chain(rng, K)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )._replace(R=jnp.asarray(R0), t=jnp.asarray(t0))
+    R_out, t_out, _ = pose_graph.optimize(g, n_iters=5)
+    np.testing.assert_allclose(np.asarray(R_out[0]), R0[0], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t_out[0]), t0[0], atol=1e-7)
+
+
+def test_scale_edges_fix_scale_drift(rng):
+    """Scale edges with corrected measurements restore a drifted chain scale
+    (≙ AddScalingEdge semantics: the edge pins ||t_rel||, LocalBA.py:115-131)."""
+    K = 6
+    R_gt, t_gt, _, _ = make_chain(rng, K, drift=0.0)
+    # Apply progressive scale drift to translations (monocular drift model).
+    scales = np.linspace(1.0, 1.6, K).astype(np.float32)
+    t_drift = (t_gt * scales[:, None]).astype(np.float32)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_drift), jnp.ones(K, bool)
+    )
+    # Correct scale measurements from GT relative translations; relax SE3
+    # edges so scale edges dominate the translation norms.
+    i, j = np.arange(K - 1), np.arange(1, K)
+    R_rel, t_rel = pose_graph._rel(jnp.asarray(R_gt), jnp.asarray(t_gt), i, j)
+    g = g._replace(
+        s_meas=jnp.linalg.norm(t_rel, axis=-1),
+        Z_t=t_rel,  # SE3 edges also carry the un-drifted measurement
+        Z_R=R_rel,
+    )
+    R_out, t_out, cost = pose_graph.optimize(g, n_iters=20)
+    np.testing.assert_allclose(np.asarray(t_out), t_gt, atol=2e-2)
+
+
+def test_g2o_roundtrip(tmp_path, rng):
+    from visual_slam_tpu.utils import g2o_io
+
+    K = 5
+    R_gt, t_gt, _, _ = make_chain(rng, K)
+    valid = np.ones(K, bool)
+    pts = rng.normal(size=(7, 3))
+    path = str(tmp_path / "graph.g2o")
+    edges = [(0, 1, np.eye(3), np.array([1.0, 0, 0]))]
+    g2o_io.save_pose_graph(path, R_gt, t_gt, valid, edges=edges, points=pts)
+    poses, points, edges2 = g2o_io.load_pose_graph(path)
+    assert len(poses) == K and len(points) == 7 and len(edges2) == 1
+    # Round trip: stored cam->world must match -R^T t / R^T.
+    for k in range(K):
+        R_wc, t_wc = poses[k]
+        np.testing.assert_allclose(R_wc, R_gt[k].T, atol=1e-6)
+        np.testing.assert_allclose(t_wc, -R_gt[k].T @ t_gt[k], atol=1e-6)
+    np.testing.assert_allclose(points[K + 0], pts[0], atol=1e-6)

@@ -85,6 +85,25 @@ def _track_step(
     return R, t, inliers, idx2, n_in
 
 
+def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
+    """Backproject pixels through a metric depth map (camera frame).
+
+    Returns (X (N,3) camera-frame points, ok (N,) valid-depth mask).
+    Depth scale handling mirrors the TUM/ICL 16-bit convention already
+    applied by the dataset reader (utils/dataset.py DEPTH_SCALE).
+    """
+    h, w = depth.shape
+    xi = np.clip(uv[:, 0].astype(np.int32), 0, w - 1)
+    yi = np.clip(uv[:, 1].astype(np.int32), 0, h - 1)
+    z = depth[yi, xi]
+    ok = (z > 0.05) & (z < 20.0)
+    fx, fy, cx, cy = intr
+    X = np.stack(
+        [(uv[:, 0] - cx) / fx * z, (uv[:, 1] - cy) / fy * z, z], axis=-1
+    )
+    return X.astype(np.float32), ok
+
+
 class Slam:
     """The SLAM system. Feed frames via `process`; read `trajectory`."""
 
@@ -129,6 +148,9 @@ class Slam:
 
     def _try_initialize(self, frame_idx, feats, depth):
         cfg = self.cfg
+        if cfg.use_depth and depth is not None:
+            self._initialize_rgbd(frame_idx, feats, depth)
+            return
         if self._init_feats is None:
             self._init_feats = feats
             self._init_frame_idx = frame_idx
@@ -182,6 +204,30 @@ class Slam:
             FrameResult(frame_idx, self.map.kf_R[kf1], self.map.kf_t[kf1], n_matches, True)
         )
 
+    def _initialize_rgbd(self, frame_idx, feats, depth):
+        """RGB-D initialization: backproject features through the metric
+        depth map — the map is metric from frame one (BASELINE.json config
+        #1 semantics; the reference loads depth but never uses it, see
+        SURVEY.md §2.1 #4, so this is a capability the reference lacks)."""
+        kf0 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), frame_idx
+        )
+        uv = np.asarray(feats.uv)
+        valid = np.array(feats.valid)
+        X, ok = _backproject_depth(uv, depth, self.cfg.intrinsics)
+        sel = np.where(valid & ok)[0]
+        pt_ids = self.map.add_points(X[sel], np.asarray(feats.desc)[sel])
+        self.map.add_observations(kf0, pt_ids, uv[sel])
+        mapped = np.zeros(self.cfg.frontend.max_features, bool)
+        mapped[sel] = True
+        self._finish_keyframe(kf0, feats, mapped, frame_idx)
+        self._last_kf_depth = depth
+        self.initialized = True
+        self.stats["init_frame"] = frame_idx
+        self.trajectory.append(
+            FrameResult(frame_idx, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), len(sel), True)
+        )
+
     # ------------------------------------------------------------------ track
 
     def _track(self, frame_idx, feats, depth):
@@ -220,12 +266,12 @@ class Slam:
         ) and n_tracked < cfg.keyframe.tracked_ratio * max(n_local, 1)
         is_kf = is_kf and n_tracked >= cfg.tracking.min_tracked_points
         if is_kf:
-            self._insert_keyframe(frame_idx, feats, R_np, t_np, inliers, idx2)
+            self._insert_keyframe(frame_idx, feats, R_np, t_np, inliers, idx2, depth)
         self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
 
     # --------------------------------------------------------------- keyframe
 
-    def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2):
+    def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None):
         cfg = self.cfg
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
         self.stats["keyframes"] += 1
@@ -244,8 +290,12 @@ class Slam:
         # Cull weak landmarks every 4th keyframe (≙ main.py:234-235).
         if kf_id >= cfg.keyframe.cull_after and kf_id % cfg.keyframe.cull_every == 0:
             self.stats["culled"] += self.map.cull_points(cfg.keyframe.cull_min_views)
-        # Mine new landmarks between the last two keyframes (≙ main.py:237-318).
-        self._mine_new_points(kf_id, feats, mapped)
+        # Mine new landmarks (≙ main.py:237-318): depth backprojection in
+        # RGB-D mode, two-view triangulation in monocular mode.
+        if self.cfg.use_depth and depth is not None:
+            self._mine_depth_points(kf_id, feats, mapped, depth)
+        else:
+            self._mine_new_points(kf_id, feats, mapped)
         # Full bundle adjustment over the map (≙ main.py:322-323).
         self._run_full_ba(scale_gauge=False)
         self._finish_keyframe(kf_id, feats, mapped, frame_idx)
@@ -298,6 +348,22 @@ class Slam:
         self.map.add_observations(prev_id, pt_ids, np.asarray(uv1)[sel])
         self.map.add_observations(kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]])
         mapped_cur[idx2_np[sel]] = True
+
+    def _mine_depth_points(self, kf_id, feats, mapped_cur, depth):
+        """Create metric landmarks for unmapped features from the depth map."""
+        uv = np.asarray(feats.uv)
+        valid = np.array(feats.valid) & ~mapped_cur
+        Xc, ok = _backproject_depth(uv, depth, self.cfg.intrinsics)
+        sel = np.where(valid & ok)[0]
+        if len(sel) == 0:
+            return
+        # Camera -> world: X_w = R_cw^T (X_c - t_cw).
+        R_cw = self.map.kf_R[kf_id]
+        t_cw = self.map.kf_t[kf_id]
+        Xw = (Xc[sel] - t_cw) @ R_cw
+        pt_ids = self.map.add_points(Xw.astype(np.float32), np.asarray(feats.desc)[sel])
+        self.map.add_observations(kf_id, pt_ids, uv[sel])
+        mapped_cur[sel] = True
 
     def _run_full_ba(self, scale_gauge: bool):
         cfg = self.cfg
