@@ -26,6 +26,7 @@ from .models import ba as ba_mod
 from .models import frontend
 from .models.map_state import SlamMap
 from .ops import lie, match, pnp, projection, triangulate, twoview
+from .utils.profiling import StageTimers
 
 
 @dataclass
@@ -126,6 +127,7 @@ class Slam:
         self._prev_t = None
         self._frames_since_kf = 0
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
+        self.timers = StageTimers()
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -136,13 +138,16 @@ class Slam:
     def process(self, frame_idx: int, gray: np.ndarray, depth: np.ndarray | None = None):
         """Process one frame: grayscale float32 (H,W) in [0,1], or RGB uint8
         (H,W,3) — the latter is converted on-device (cheaper transfer)."""
-        img = jnp.asarray(gray)
-        if img.ndim == 3:
-            feats = frontend.extract_rgb(img, self.cfg.frontend.max_features)
-        else:
-            feats = _extract(img, self.cfg.frontend.max_features)
+        with self.timers.time("extract"):
+            img = jnp.asarray(gray)
+            if img.ndim == 3:
+                feats = frontend.extract_rgb(img, self.cfg.frontend.max_features)
+            else:
+                feats = _extract(img, self.cfg.frontend.max_features)
+            jax.block_until_ready(feats.desc)
         if not self.initialized:
-            self._try_initialize(frame_idx, feats, depth)
+            with self.timers.time("initialize"):
+                self._try_initialize(frame_idx, feats, depth)
         else:
             self._track(frame_idx, feats, depth)
 
@@ -233,6 +238,8 @@ class Slam:
     def _track(self, frame_idx, feats, depth):
         cfg = self.cfg
         snap = self._snapshot
+        tm = self.timers.time("track")
+        tm.__enter__()
         R, t, inliers, idx2, n_in = _track_step(
             feats.desc,
             feats.uv,
@@ -251,6 +258,7 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
         )
         n_tracked = int(n_in)
+        tm.__exit__(None, None, None)
         if n_tracked < cfg.tracking.min_tracked_points:
             # Tracking failure: keep previous pose (constant-position fallback).
             R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
@@ -367,14 +375,20 @@ class Slam:
 
     def _run_full_ba(self, scale_gauge: bool):
         cfg = self.cfg
-        prob = self.map.to_ba_problem(self.cfg.intrinsics)
-        prob, cost = ba_mod.optimize(
-            prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
-        )
+        with self.timers.time("bundle_adjust"):
+            prob = self.map.to_ba_problem(self.cfg.intrinsics)
+            prob, cost = ba_mod.optimize(
+                prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
+            )
+            jax.block_until_ready(cost)
         if scale_gauge:
             prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
         self.map.update_from_ba(prob)
         self.stats["ba_runs"] += 1
+
+    def ba_iters_per_s(self) -> float:
+        """BA iterations/s (BASELINE.json report metric)."""
+        return self.timers.rate("bundle_adjust", self.stats["ba_runs"] * self.cfg.ba.iters)
 
     def _finish_keyframe(self, kf_id, feats, mapped, frame_idx):
         """Reset tracking state around a new keyframe (≙ main.py:330-345)."""

@@ -84,6 +84,33 @@ class ICLNUIMDataset:
         for i in range(start, stop):
             yield i, self.gray(i), self.depth(i)
 
+    def async_loader(self, start: int = 0, stop: int | None = None, **kw):
+        """Native (C++) prefetching loader over [start, stop) — see
+        visual_slam_tpu.native. Returns (loader, index_offset): frame i of
+        the dataset is loader.get(i - index_offset)."""
+        from .. import native
+
+        stop = stop if stop is not None else len(self)
+        rgb = [self.associations[i].rgb_path for i in range(start, stop)]
+        dep = [self.associations[i].depth_path for i in range(start, stop)]
+        return native.AsyncFrameLoader(rgb, dep, **kw), start
+
+    def async_frames(self, start: int = 0, stop: int | None = None):
+        """Iterator like `frames` but fed by the native async loader
+        (decode overlaps consumer compute); falls back to sync PIL reads."""
+        from .. import native
+
+        if not native.available():
+            yield from ((i, self.rgb(i), self.depth(i)) for i in range(start, stop or len(self)))
+            return
+        loader, off = self.async_loader(start, stop)
+        try:
+            for i in range(start, stop if stop is not None else len(self)):
+                rgb, depth = loader.get(i - off)
+                yield i, rgb, depth
+        finally:
+            loader.close()
+
     def ground_truth(self) -> np.ndarray | None:
         """(N, 4, 4) cam->world poses from the TUM-format file, or None.
 
