@@ -25,9 +25,13 @@ from . import ba as ba_mod
 
 @dataclass
 class MapConfig:
-    max_keyframes: int = 128
-    max_points: int = 16384
-    max_observations: int = 131072
+    """Fixed capacities (compile-time shapes). Sized for a full ICL-NUIM
+    sequence (~60 keyframes x ~400 observations); BA cost scales with these,
+    so keep them close to the workload."""
+
+    max_keyframes: int = 64
+    max_points: int = 8192
+    max_observations: int = 32768
     track_capacity: int = 2048  # local-snapshot padding (points per keyframe)
 
 
