@@ -31,26 +31,54 @@ class Features(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("max_features",))
-def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
-    """Full front-end for one grayscale image (H,W) float32 in [0,1]."""
+def _extract_stage1(img: jnp.ndarray, max_features: int):
+    """Detection + blur + orientation + descriptor sample indices.
+
+    Everything here is conv/elementwise/top-k work that XLA fuses well; the
+    large dynamic gather is deliberately left to stage 2 (see
+    ops.descriptor.describe for why the split matters on TPU).
+    """
+    if img.ndim == 3:
+        img = to_gray(img)
     uv, score, valid = detect.detect_corners(img, max_corners=max_features)
     blurred = detect.gaussian_blur(img, sigma=2.0, radius=4)
     theta = detect.orientation(img, uv)
-    desc = descriptor.describe(blurred, uv, theta)
+    H, W = img.shape
+    idx, fx, fy = descriptor.sample_offsets(uv, theta, W, H)
+    return uv, score, valid, blurred, idx, fx, fy
+
+
+def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
+    """Full front-end for one image: grayscale (H,W) float32 in [0,1] or
+    RGB (H,W,3) uint8 (converted on-device). Two jit dispatches by design."""
+    uv, score, valid, blurred, idx, fx, fy = _extract_stage1(img, max_features)
+    desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 
-extract_batch = jax.vmap(extract, in_axes=(0, None))
-
-
 @partial(jax.jit, static_argnames=("max_features",))
+def extract_fused(img: jnp.ndarray, max_features: int = 1024) -> Features:
+    """Single-jit front-end for use inside larger jitted computations
+    (pays the fused-gather penalty; prefer `extract` at the host level)."""
+    if img.ndim == 3:
+        img = to_gray(img)
+    uv, score, valid = detect.detect_corners(img, max_corners=max_features)
+    blurred = detect.gaussian_blur(img, sigma=2.0, radius=4)
+    theta = detect.orientation(img, uv)
+    desc = descriptor.describe_fused(blurred, uv, theta)
+    return Features(uv=uv, desc=desc, score=score, valid=valid)
+
+
+extract_batch = jax.vmap(extract_fused, in_axes=(0, None))
+
+
 def extract_rgb(rgb_u8: jnp.ndarray, max_features: int = 1024) -> Features:
     """Front-end from a device-resident (H,W,3) uint8 image.
 
     Grayscale conversion happens on-device so the host->device transfer is
     the raw 0.9 MB uint8 frame, not a 1.2 MB float gray (HBM-bandwidth and
     PCIe/tunnel friendly)."""
-    return extract(to_gray(rgb_u8), max_features)
+    return extract(rgb_u8, max_features)
 
 
 def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -66,7 +66,49 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@jax.jit
+def sample_offsets(uv: jnp.ndarray, theta: jnp.ndarray, width: int, height: int):
+    """Stage 1: rotated-pattern sample indices + bilinear fractions.
+
+    Returns (idx (K,512) int32 into the flattened image, fx, fy (K,512)).
+    All intermediates are (K, 512) — see the layout note at _PX above.
+    """
+    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]  # (K,1)
+    rx = c * _PX[None, :] - s * _PY[None, :]  # (K,512)
+    ry = s * _PX[None, :] + c * _PY[None, :]
+    xs = uv[:, 0:1] + rx
+    ys = uv[:, 1:2] + ry
+    x0 = jnp.clip(jnp.floor(xs), 0, width - 2)
+    y0 = jnp.clip(jnp.floor(ys), 0, height - 2)
+    idx = y0.astype(jnp.int32) * width + x0.astype(jnp.int32)
+    return idx, xs - x0, ys - y0
+
+
+def gather_and_pack(
+    img_blurred: jnp.ndarray, idx: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray
+) -> jnp.ndarray:
+    """Stage 2: bilinear gather + comparisons + bit packing -> (K,8) uint32."""
+    W = img_blurred.shape[1]
+    flat = img_blurred.reshape(-1)
+    v00 = flat[idx]
+    v01 = flat[idx + 1]
+    v10 = flat[idx + W]
+    v11 = flat[idx + W + 1]
+    vals = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    bits = (vals[:, :N_BITS] < vals[:, N_BITS:]).astype(jnp.uint32)  # (K,256)
+    bits = bits.reshape(bits.shape[0], N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # (K,8)
+
+
+_gather_and_pack_jit = jax.jit(gather_and_pack)
+_sample_offsets_jit = jax.jit(sample_offsets, static_argnames=("width", "height"))
+
+
 def describe(
     img_blurred: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray
 ) -> jnp.ndarray:
@@ -79,18 +121,26 @@ def describe(
     Returns:
       (K, 8) uint32 packed descriptors.
 
-    All intermediates are (K, 512) — see the layout note at _PX above.
+    NOTE: this is a TWO-dispatch composition on purpose. When the index
+    computation and the 524k-element gather land in the same XLA/TPU fusion,
+    the gather is serialized (~20 ms); materializing the indices between two
+    jits keeps the fast vector-gather path (~1.5 ms total). Inside a larger
+    jit use `describe_fused` (accepting the fusion penalty) or call the two
+    stages explicitly.
     """
-    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]  # (K,1)
-    rx = c * _PX[None, :] - s * _PY[None, :]  # (K,512)
-    ry = s * _PX[None, :] + c * _PY[None, :]
-    xs = uv[:, 0:1] + rx
-    ys = uv[:, 1:2] + ry
-    vals = _bilinear(img_blurred, xs, ys)  # (K,512)
-    bits = (vals[:, :N_BITS] < vals[:, N_BITS:]).astype(jnp.uint32)  # (K,256)
-    bits = bits.reshape(bits.shape[0], N_WORDS, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # (K,8)
+    H, W = img_blurred.shape
+    idx, fx, fy = _sample_offsets_jit(uv, theta, W, H)
+    return _gather_and_pack_jit(img_blurred, idx, fx, fy)
+
+
+@jax.jit
+def describe_fused(
+    img_blurred: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray
+) -> jnp.ndarray:
+    """Single-jit variant of `describe` for use inside larger jits."""
+    H, W = img_blurred.shape
+    idx, fx, fy = sample_offsets(uv, theta, W, H)
+    return gather_and_pack(img_blurred, idx, fx, fy)
 
 
 def unpack_pm1(desc: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:

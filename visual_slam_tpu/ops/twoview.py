@@ -68,6 +68,51 @@ def estimate_essential_ransac(
     return E, inliers, jnp.sum(inliers)
 
 
+def estimate_relative_pose_auto(
+    key: jax.Array,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    intr: jnp.ndarray,
+    mask: jnp.ndarray,
+    h_ratio_threshold: float = 0.45,
+    distance_thresh: float = 50.0,
+):
+    """Homography-vs-essential model selection two-view pose.
+
+    ≙ the v1 pipeline's model selection (src/v1/slam_test.py:207-218): fit
+    both models, pick homography when its inlier-support ratio exceeds
+    `h_ratio_threshold` (planar/low-parallax scenes), else essential.
+
+    Returns (R, t, X1, good, valid_fraction, used_homography(bool device)).
+    """
+    from . import homography as homog_mod
+
+    kE, kH = jax.random.split(key)
+    th = 3.0 / intr[0]
+    E, inl_E, n_E = estimate_essential_ransac(kE, uv1, uv2, intr, mask, threshold=th)
+    xn1 = projection.normalize_pixels(uv1, intr)
+    xn2 = projection.normalize_pixels(uv2, intr)
+    H, inl_H, n_H = homog_mod.estimate_homography_ransac(
+        kH, xn1, xn2, mask, threshold=th
+    )
+    use_H = n_H.astype(jnp.float32) > h_ratio_threshold * jnp.maximum(
+        (n_H + n_E).astype(jnp.float32), 1.0
+    )
+    R_E, t_E, X_E, g_E, f_E = epipolar.recover_pose(E, xn1, xn2, inl_E, distance_thresh)
+    R_H, t_H, X_H, g_H, f_H = homog_mod.recover_pose_homography(
+        H, xn1, xn2, inl_H, distance_thresh
+    )
+    pick = lambda a, b: jnp.where(use_H, a, b)
+    return (
+        pick(R_H, R_E),
+        pick(t_H, t_E),
+        jnp.where(use_H, X_H, X_E),
+        jnp.where(use_H, g_H, g_E),
+        pick(f_H, f_E),
+        use_H,
+    )
+
+
 def estimate_relative_pose(
     E: jnp.ndarray,
     uv1: jnp.ndarray,

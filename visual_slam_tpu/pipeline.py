@@ -38,9 +38,6 @@ class FrameResult:
     is_keyframe: bool
 
 
-@partial(jax.jit, static_argnames=("max_features",))
-def _extract(gray: jnp.ndarray, max_features: int):
-    return frontend.extract(gray, max_features)
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "refine_iters"))
@@ -84,6 +81,45 @@ def _track_step(
         refine_iters=refine_iters,
     )
     return R, t, inliers, idx2, n_in
+
+
+@partial(jax.jit, static_argnames=("n_hyps",))
+def _init_step(
+    f0_desc,
+    f0_uv,
+    f0_valid,
+    f1_desc,
+    f1_uv,
+    f1_valid,
+    intr,
+    key,
+    ratio,
+    max_hamming,
+    ess_threshold,
+    distance_thresh,
+    n_hyps: int,
+):
+    """Two-view initialization attempt as ONE jitted computation.
+
+    ≙ the per-frame body of the reference init loop (main.py:96-114):
+    match -> essential RANSAC -> cheirality pose recovery. Gates are
+    evaluated by the host on the returned scalars. Keeping this fused in a
+    single jit matters doubly on this backend: eager per-op dispatch through
+    the TPU tunnel costs ~0.3 ms/op and the init body is hundreds of ops.
+    """
+    idx2, dist, good = match.match_ratio_test(
+        f0_desc, f1_desc, f0_valid, f1_valid, ratio=ratio, max_distance=max_hamming
+    )
+    uv1 = f0_uv
+    uv2 = f1_uv[idx2]
+    E, inl, n_in = twoview.estimate_essential_ransac(
+        key, uv1, uv2, intr, good, threshold=ess_threshold, n_hyps=n_hyps
+    )
+    R, t, X1, cheir, frac = twoview.estimate_relative_pose(
+        E, uv1, uv2, intr, inl, distance_thresh
+    )
+    n_matches = jnp.sum(good)
+    return n_matches, idx2, R, t, X1, cheir, frac
 
 
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
@@ -139,11 +175,7 @@ class Slam:
         """Process one frame: grayscale float32 (H,W) in [0,1], or RGB uint8
         (H,W,3) — the latter is converted on-device (cheaper transfer)."""
         with self.timers.time("extract"):
-            img = jnp.asarray(gray)
-            if img.ndim == 3:
-                feats = frontend.extract_rgb(img, self.cfg.frontend.max_features)
-            else:
-                feats = _extract(img, self.cfg.frontend.max_features)
+            feats = frontend.extract(jnp.asarray(gray), self.cfg.frontend.max_features)
             jax.block_until_ready(feats.desc)
         if not self.initialized:
             with self.timers.time("initialize"):
@@ -165,25 +197,28 @@ class Slam:
             )
             return
         f0, f1 = self._init_feats, feats
-        idx2, dist, good = match.match_ratio_test(
-            f0.desc, f1.desc, f0.valid, f1.valid,
-            ratio=cfg.frontend.match_ratio, max_distance=cfg.frontend.max_hamming,
+        n_matches_dev, idx2, R, t, X1, cheir, frac = _init_step(
+            f0.desc,
+            f0.uv,
+            f0.valid,
+            f1.desc,
+            f1.uv,
+            f1.valid,
+            self.intr,
+            self._next_key(),
+            cfg.frontend.match_ratio,
+            cfg.frontend.max_hamming,
+            cfg.twoview.ess_threshold_factor / float(self.cfg.intrinsics[0]),
+            cfg.twoview.distance_thresh,
+            n_hyps=cfg.twoview.ransac_hypotheses,
         )
-        n_matches = int(good.sum())
+        n_matches = int(n_matches_dev)
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
+            return
+        if float(frac) < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
             return
         uv1 = f0.uv
         uv2 = f1.uv[idx2]
-        E, inl, n_in = twoview.estimate_essential_ransac(
-            self._next_key(), uv1, uv2, self.intr, good,
-            threshold=cfg.twoview.ess_threshold_factor / float(self.intr[0]),
-            n_hyps=cfg.twoview.ransac_hypotheses,
-        )
-        R, t, X1, cheir, frac = twoview.estimate_relative_pose(
-            E, uv1, uv2, self.intr, inl, cfg.twoview.distance_thresh
-        )
-        if float(frac) < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
-            return
         # Accepted: frame0 = world origin keyframe, this frame = keyframe 1.
         R0 = np.eye(3, dtype=np.float32)
         t0 = np.zeros(3, np.float32)
