@@ -30,6 +30,7 @@ class TwoViewConfig:
     min_matches: int = 100  # skip-frame gate (main.py:97-98)
     min_valid_fraction: float = 0.9  # cheirality gate (main.py:113-114)
     distance_thresh: float = 50.0  # recoverPose distanceThresh (helper_functions.py:176)
+    min_init_parallax_deg: float = 1.0  # median-parallax init gate (new; see pipeline._init_step)
 
 
 @dataclass

@@ -119,7 +119,21 @@ def _init_step(
         E, uv1, uv2, intr, inl, distance_thresh
     )
     n_matches = jnp.sum(good)
-    return n_matches, idx2, R, t, X1, cheir, frac
+    # Median triangulation parallax of the cheirality-good points (degrees).
+    # A low-parallax pair can pass the validFraction gate by luck of the
+    # cheirality vote; poor baselines make degenerate maps, so the host also
+    # gates on this (the reference has no such gate and in practice relies
+    # on validFraction noise — an accuracy hazard this framework closes).
+    C2 = -jnp.einsum("ji,j->i", R, t)  # cam-2 centre in cam-1 frame
+    r1 = X1 / (jnp.linalg.norm(X1, axis=-1, keepdims=True) + 1e-12)
+    v2 = X1 - C2[None, :]
+    r2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + 1e-12)
+    cosang = jnp.clip(jnp.sum(r1 * r2, axis=-1), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cosang))
+    ang_sorted = jnp.sort(jnp.where(cheir, ang, jnp.inf))
+    n_good = jnp.maximum(jnp.sum(cheir), 1)
+    parallax_med = ang_sorted[(n_good - 1) // 2]
+    return n_matches, idx2, R, t, X1, cheir, frac, parallax_med
 
 
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
@@ -197,7 +211,7 @@ class Slam:
             )
             return
         f0, f1 = self._init_feats, feats
-        n_matches_dev, idx2, R, t, X1, cheir, frac = _init_step(
+        n_matches_dev, idx2, R, t, X1, cheir, frac, parallax = _init_step(
             f0.desc,
             f0.uv,
             f0.valid,
@@ -216,6 +230,8 @@ class Slam:
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
             return
         if float(frac) < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
+            return
+        if float(parallax) < cfg.twoview.min_init_parallax_deg:
             return
         uv1 = f0.uv
         uv2 = f1.uv[idx2]
@@ -412,10 +428,18 @@ class Slam:
         cfg = self.cfg
         with self.timers.time("bundle_adjust"):
             prob = self.map.to_ba_problem(self.cfg.intrinsics)
+            cost_before = float(ba_mod._cost(prob))
             prob, cost = ba_mod.optimize(
                 prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
             )
-            jax.block_until_ready(cost)
+            cost_after = float(cost)
+        # Failure detection (SURVEY.md §5 — the reference has none): reject a
+        # BA result that diverged or went non-finite; keep the pre-BA state.
+        if not np.isfinite(cost_after) or (
+            np.isfinite(cost_before) and cost_after > 2.0 * cost_before
+        ):
+            self.stats["ba_rejected"] = self.stats.get("ba_rejected", 0) + 1
+            return
         if scale_gauge:
             prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
         self.map.update_from_ba(prob)
