@@ -67,6 +67,10 @@ def main():
         "points": int(slam.map.pt_valid.sum()),
         "init_frame": slam.stats["init_frame"],
         "backend": jax.default_backend(),
+        "ba_iters_per_s": round(slam.ba_iters_per_s(), 1),
+        "stage_ms": {
+            k: v["ms_per_call"] for k, v in slam.timers.summary().items()
+        },
     }
     gt = ds.ground_truth()
     if gt is not None and slam.initialized:

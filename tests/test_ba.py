@@ -51,7 +51,7 @@ def synth_problem(rng, K=6, P=300, noise_px=0.0, pose_noise=0.0, point_noise=0.0
         t0[k] = dR @ t_gt[k] + dt
     cam_fixed = np.zeros(K, bool)
     cam_fixed[0] = True
-    prob = ba.BAProblem(
+    prob = ba.make_problem(
         R=jnp.asarray(R0),
         t=jnp.asarray(t0),
         X=jnp.asarray(X0),

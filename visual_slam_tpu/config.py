@@ -35,7 +35,7 @@ class TwoViewConfig:
 
 @dataclass
 class TrackingConfig:
-    pnp_hypotheses: int = 256
+    pnp_hypotheses: int = 128  # extrinsic-guess hypothesis carries tracking; 128 random seeds suffice
     pnp_threshold_px: float = 8.0  # cv2.solvePnPRansac default reprojectionError
     refine_iters: int = 10  # ≙ motion-only BA iterations (LocalBA.py:39)
     min_tracked_points: int = 10  # hard floor to accept a pose

@@ -40,7 +40,15 @@ HUBER_DELTA = 2.4477  # sqrt(5.991), ≙ reference LocalBA.py:82
 
 
 class BAProblem(NamedTuple):
-    """A fixed-shape bundle-adjustment problem."""
+    """A fixed-shape bundle-adjustment problem.
+
+    Scale edges (se_*) pin the norms of relative translations between
+    keyframe pairs — g2o's EdgeSBAScale as added per parent->child link by
+    the reference on EVERY full BA (AddScalingEdge, LocalBA.py:115-131,
+    :159-162). They are the monocular gauge stabilizer: without them a full
+    BA can slide the newest keyframes along the scale direction while the
+    reprojection cost still decreases.
+    """
 
     R: jnp.ndarray  # (K,3,3) world->camera rotations
     t: jnp.ndarray  # (K,3) world->camera translations
@@ -51,6 +59,63 @@ class BAProblem(NamedTuple):
     w: jnp.ndarray  # (O,) observation weights (0 = invalid/padding)
     intr: jnp.ndarray  # (4,) fx fy cx cy
     cam_fixed: jnp.ndarray  # (K,) bool — poses held constant (gauge/keyframes)
+    se_i: jnp.ndarray  # (E,) int32 scale-edge first keyframe
+    se_j: jnp.ndarray  # (E,) int32 scale-edge second keyframe
+    se_meas: jnp.ndarray  # (E,) measured ||t_rel||
+    se_w: jnp.ndarray  # (E,) scale-edge weights (0 = padding)
+
+
+def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
+                 se_i=None, se_j=None, se_meas=None, se_w=None) -> BAProblem:
+    """BAProblem constructor with empty-by-default scale edges."""
+    if se_i is None:
+        se_i = jnp.zeros(1, jnp.int32)
+        se_j = jnp.zeros(1, jnp.int32)
+        se_meas = jnp.zeros(1, R.dtype)
+        se_w = jnp.zeros(1, R.dtype)
+    return BAProblem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
+                     se_i, se_j, se_meas, se_w)
+
+
+def _scale_edge_residual(R, t, se_i, se_j, se_meas):
+    """r_e = ||t_rel(i,j)|| - meas for keyframe pairs (world->cam poses)."""
+    Ri, ti = R[se_i], t[se_i]
+    Rj, tj = R[se_j], t[se_j]
+    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
+    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
+    return jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12) - se_meas
+
+
+def _scale_edge_jacobians(p: BAProblem):
+    """Per-edge residual + Jacobians wrt left-composed se3 deltas of (i, j).
+
+    Returns r (E,), Ji (E,6), Jj (E,6). Uses jacfwd on the 12-dim per-edge
+    perturbation (vmapped) — edges are keyframe-count sized, this is cheap.
+    """
+    def one_edge(Ri, ti, Rj, tj, meas):
+        def res(d):
+            di, dj = d[:6], d[6:]
+            dRi, dti = lie.se3_exp(di)
+            dRj, dtj = lie.se3_exp(dj)
+            Ri_ = dRi @ Ri
+            ti_ = dRi @ ti + dti
+            Rj_ = dRj @ Rj
+            tj_ = dRj @ tj + dtj
+            R_rel = Ri_ @ Rj_.T
+            t_rel = ti_ - R_rel @ tj_
+            # Epsilon-safe norm: padded edges (i == j) sit at t_rel == 0,
+            # where norm's derivative is undefined (NaN would poison the
+            # weighted sums even at weight 0).
+            return jnp.sqrt(jnp.sum(t_rel * t_rel) + 1e-12) - meas
+
+        d0 = jnp.zeros(12, p.R.dtype)
+        r = res(d0)
+        J = jax.jacfwd(res)(d0)
+        return r, J[:6], J[6:]
+
+    return jax.vmap(one_edge)(
+        p.R[p.se_i], p.t[p.se_i], p.R[p.se_j], p.t[p.se_j], p.se_meas
+    )
 
 
 def _residuals_and_jacobians(p: BAProblem):
@@ -108,7 +173,10 @@ def _cost(p: BAProblem, axis_name=None) -> jnp.ndarray:
     )
     # Validity only — robustness is in rho itself.
     zmask = _depth_mask(p)
-    return _psum(jnp.sum(p.w * zmask * rho), axis_name)
+    cost_obs = _psum(jnp.sum(p.w * zmask * rho), axis_name)
+    # Scale edges (replicated, computed identically on every shard — no psum).
+    r_s = _scale_edge_residual(p.R, p.t, p.se_i, p.se_j, p.se_meas)
+    return cost_obs + jnp.sum(p.se_w * r_s * r_s)
 
 
 def _depth_mask(p: BAProblem) -> jnp.ndarray:
@@ -146,12 +214,22 @@ def _build_blocks(p: BAProblem, lm_lambda, axis_name=None):
     V = _psum(V, axis_name)
     g_c = _psum(g_c, axis_name)
     g_p = _psum(g_p, axis_name)
+    # Scale-edge (pose-pose) contributions: diagonal blocks into U, cross
+    # blocks kept for the implicit matvec. Replicated — added after psum.
+    r_s, Ji, Jj = _scale_edge_jacobians(p)
+    wJi = Ji * p.se_w[:, None]
+    wJj = Jj * p.se_w[:, None]
+    U = U.at[p.se_i].add(jnp.einsum("ek,el->ekl", wJi, Ji))
+    U = U.at[p.se_j].add(jnp.einsum("ek,el->ekl", wJj, Jj))
+    H_ij = jnp.einsum("ek,el->ekl", wJi, Jj)  # (E,6,6) cross blocks
+    g_c = g_c.at[p.se_i].add(wJi * r_s[:, None])
+    g_c = g_c.at[p.se_j].add(wJj * r_s[:, None])
     # LM damping (multiplicative on the diagonal, g2o-style).
     eyeK = jnp.eye(6, dtype=r.dtype)
     eyeP = jnp.eye(3, dtype=r.dtype)
     U_d = U + lm_lambda * eyeK[None]
     V_d = V + lm_lambda * eyeP[None]
-    return U_d, V_d, g_c, g_p, (r, Jc, Jp, w)
+    return U_d, V_d, g_c, g_p, (r, Jc, Jp, w, H_ij)
 
 
 def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +237,8 @@ def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
     return x * (~cam_fixed)[:, None].astype(x.dtype)
 
 
-def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed, axis_name=None):
+def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed,
+                  se_i, se_j, H_ij, axis_name=None):
     """y = S x with S = U - W V^{-1} W^T applied implicitly.
 
     W_ip = sum_obs Jc^T w Jp over observations of (cam i, point p); the
@@ -180,6 +259,9 @@ def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed, axis_name=None)
     Jp_c = jnp.einsum("oik,ok->oi", Jp, c[pnt])  # (O,2)
     d = jnp.einsum("oik,oi,o->ok", Jc, Jp_c, w)  # (O,6)
     y = y - _psum(jnp.zeros_like(y).at[cam].add(d), axis_name)
+    # Scale-edge cross blocks (pose-pose coupling; replicated, no psum).
+    y = y.at[se_i].add(jnp.einsum("ekl,el->ek", H_ij, x[se_j]))
+    y = y.at[se_j].add(jnp.einsum("elk,el->ek", H_ij, x[se_i]))
     return _mask_cam(y, cam_fixed)
 
 
@@ -242,7 +324,7 @@ def _pcg(matvec, precond, b, n_iters: int):
 
 def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axis_name=None):
     """One damped normal-equation solve: returns (delta_c (K,6), delta_p (P,3))."""
-    U_d, V_d, g_c, g_p, (r, Jc, Jp, w) = _build_blocks(p, lm_lambda, axis_name)
+    U_d, V_d, g_c, g_p, (r, Jc, Jp, w, H_ij) = _build_blocks(p, lm_lambda, axis_name)
     g_c = _mask_cam(g_c, p.cam_fixed)
 
     if points_fixed:
@@ -263,7 +345,8 @@ def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axi
 
     def matvec(x):
         return _schur_matvec(
-            x, U_d, V_inv, Jc, Jp, w, p.cam, p.pnt, p.cam_fixed, axis_name
+            x, U_d, V_inv, Jc, Jp, w, p.cam, p.pnt, p.cam_fixed,
+            p.se_i, p.se_j, H_ij, axis_name
         )
 
     def precond(x):

@@ -45,6 +45,9 @@ class SlamMap:
         self.kf_t = np.zeros((K, 3), np.float32)
         self.kf_valid = np.zeros(K, bool)
         self.kf_frame_idx = np.full(K, -1, np.int64)  # source frame number
+        # ||t_rel|| to the previous keyframe, captured at insertion time —
+        # the scale-edge measurement (≙ AddScalingEdge, LocalBA.py:115-131).
+        self.kf_scale_meas = np.zeros(K, np.float32)
         self.pt_xyz = np.zeros((P, 3), np.float32)
         self.pt_desc = np.zeros((P, 8), np.uint32)  # latest descriptor
         self.pt_valid = np.zeros(P, bool)
@@ -68,6 +71,10 @@ class SlamMap:
         self.kf_t[k] = t_cw
         self.kf_valid[k] = True
         self.kf_frame_idx[k] = frame_idx
+        if k > 0:
+            R_rel = self.kf_R[k] @ self.kf_R[k - 1].T
+            t_rel = self.kf_t[k] - R_rel @ self.kf_t[k - 1]
+            self.kf_scale_meas[k] = np.linalg.norm(t_rel)
         self.n_kf += 1
         return k
 
@@ -141,6 +148,18 @@ class SlamMap:
             valid=jnp.asarray(valid),
         )
 
+    def refresh_scale_meas(self) -> None:
+        """Re-capture scale-edge measurements from the current poses.
+
+        Must be called after any gauge change (median-depth normalization
+        divides every translation): stale measurements would make the next
+        BA fight the new gauge and warp the map.
+        """
+        for k in range(1, self.n_kf):
+            R_rel = self.kf_R[k] @ self.kf_R[k - 1].T
+            t_rel = self.kf_t[k] - R_rel @ self.kf_t[k - 1]
+            self.kf_scale_meas[k] = np.linalg.norm(t_rel)
+
     def cull_points(self, min_views: int = 3) -> int:
         """Drop landmarks seen by fewer than `min_views` keyframes.
 
@@ -154,9 +173,15 @@ class SlamMap:
 
     # -- BA interface --
 
-    def to_ba_problem(self, intr: np.ndarray, fix_first: bool = True) -> ba_mod.BAProblem:
+    def to_ba_problem(
+        self,
+        intr: np.ndarray,
+        fix_first: bool = True,
+        scale_edge_weight: float = 10.0,
+    ) -> ba_mod.BAProblem:
         """Device view of the full map for bundle adjustment
-        (≙ the graph build in localBundleAdjustement, LocalBA.py:153-172)."""
+        (≙ the graph build in localBundleAdjustement, LocalBA.py:153-172,
+        including the parent->child scale-edge chain :159-162)."""
         cam_fixed = np.zeros(self.config.max_keyframes, bool)
         cam_fixed[~self.kf_valid] = True
         if fix_first:
@@ -166,7 +191,14 @@ class SlamMap:
             & self.pt_valid[self.obs_pt]
             & self.kf_valid[self.obs_cam]
         ).astype(np.float32)
-        return ba_mod.BAProblem(
+        K = self.config.max_keyframes
+        se_i = np.arange(K - 1, dtype=np.int32)
+        se_j = se_i + 1
+        se_w = (
+            self.kf_valid[se_i] & self.kf_valid[se_j]
+        ).astype(np.float32) * scale_edge_weight
+        se_meas = self.kf_scale_meas[1:K].astype(np.float32)
+        return ba_mod.make_problem(
             R=jnp.asarray(self.kf_R),
             t=jnp.asarray(self.kf_t),
             X=jnp.asarray(self.pt_xyz),
@@ -176,6 +208,10 @@ class SlamMap:
             w=jnp.asarray(w),
             intr=jnp.asarray(intr),
             cam_fixed=jnp.asarray(cam_fixed),
+            se_i=jnp.asarray(se_i),
+            se_j=jnp.asarray(se_j),
+            se_meas=jnp.asarray(se_meas),
+            se_w=jnp.asarray(se_w),
         )
 
     def update_from_ba(self, p: ba_mod.BAProblem) -> None:

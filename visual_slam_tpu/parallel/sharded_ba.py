@@ -56,7 +56,8 @@ def optimize_sharded(
     rep = P()
     obs = P(axis)
     in_specs = ba_mod.BAProblem(
-        R=rep, t=rep, X=rep, cam=obs, pnt=obs, uv=obs, w=obs, intr=rep, cam_fixed=rep
+        R=rep, t=rep, X=rep, cam=obs, pnt=obs, uv=obs, w=obs, intr=rep,
+        cam_fixed=rep, se_i=rep, se_j=rep, se_meas=rep, se_w=rep,
     )
     out_specs = (in_specs._replace(cam=obs, pnt=obs, uv=obs, w=obs), rep)
 

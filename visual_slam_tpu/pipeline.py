@@ -136,6 +136,50 @@ def _init_step(
     return n_matches, idx2, R, t, X1, cheir, frac, parallax_med
 
 
+@jax.jit
+def _mine_step(
+    prev_desc,
+    prev_uv,
+    prev_avail,
+    cur_desc,
+    cur_uv,
+    cur_valid,
+    R1,
+    t1,
+    R2,
+    t2,
+    intr,
+    ratio,
+    max_hamming,
+    reproj_thresh_px,
+    max_depth,
+):
+    """New-landmark mining between two keyframes as one jitted computation.
+
+    ≙ main.py:237-309: match unmapped features, DLT-triangulate, gate by
+    cheirality/depth/reprojection. Returns (idx2, keep_mask, X_world).
+    """
+    idx2, dist, good = match.match_ratio_test(
+        prev_desc, cur_desc, prev_avail, cur_valid, ratio=ratio, max_distance=max_hamming
+    )
+    T1 = lie.make_T(R1, t1)
+    T2 = lie.make_T(R2, t2)
+    P1 = projection.projection_matrix(T1, intr)
+    P2 = projection.projection_matrix(T2, intr)
+    uv1 = prev_uv
+    uv2 = cur_uv[idx2]
+    Xh = triangulate.triangulate_dlt(P1, P2, uv1, uv2)
+    X = triangulate.dehomogenize(Xh)
+    pr1, z1 = projection.project(R1, t1, X, intr)
+    pr2, z2 = projection.project(R2, t2, X, intr)
+    reproj_ok = (
+        jnp.sum((pr1 - uv1) ** 2, -1) < reproj_thresh_px**2
+    ) & (jnp.sum((pr2 - uv2) ** 2, -1) < reproj_thresh_px**2)
+    depth_ok = (z1 > 0) & (z2 > 0) & (z1 < max_depth) & (z2 < max_depth)
+    keep = good & reproj_ok & depth_ok
+    return idx2, keep, X
+
+
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
     """Backproject pixels through a metric depth map (camera frame).
 
@@ -367,44 +411,34 @@ class Slam:
         # Unmapped = detected in prev KF but not yet a landmark (≙ GetListDiff,
         # helper_functions.py:316-326).
         avail1 = np.asarray(prev_feats.valid) & ~prev_mapped
-        idx2, dist, good = match.match_ratio_test(
-            prev_feats.desc, feats.desc,
-            jnp.asarray(avail1), feats.valid,
-            ratio=cfg.frontend.match_ratio, max_distance=cfg.frontend.max_hamming,
-        )
-        good_np = np.array(good)
-        # Don't re-map features already matched to existing landmarks.
-        idx2_np = np.asarray(idx2)
-        good_np &= ~mapped_cur[idx2_np]
-        if good_np.sum() == 0:
-            return
         prev_id = self._last_kf_id
-        T1 = lie.make_T(jnp.asarray(self.map.kf_R[prev_id]), jnp.asarray(self.map.kf_t[prev_id]))
-        T2 = lie.make_T(jnp.asarray(self.map.kf_R[kf_id]), jnp.asarray(self.map.kf_t[kf_id]))
-        P1 = projection.projection_matrix(T1, self.intr)
-        P2 = projection.projection_matrix(T2, self.intr)
-        uv1 = prev_feats.uv
-        uv2 = feats.uv[idx2]
-        Xh = triangulate.triangulate_dlt(P1, P2, uv1, uv2)
-        X = triangulate.dehomogenize(Xh)
-        # Cheirality + depth + reprojection gates (≙ main.py:291-309, with a
-        # reprojection check instead of the reference's debug prints).
-        X1c = lie.transform_points(T1, X[None])[0]
-        X2c = lie.transform_points(T2, X[None])[0]
-        pr1, z1 = projection.project(T1[:3, :3], T1[:3, 3], X, self.intr)
-        pr2, z2 = projection.project(T2[:3, :3], T2[:3, 3], X, self.intr)
-        reproj_ok = (
-            (jnp.sum((pr1 - uv1) ** 2, -1) < cfg.keyframe.triangulation_reproj_px**2)
-            & (jnp.sum((pr2 - uv2) ** 2, -1) < cfg.keyframe.triangulation_reproj_px**2)
+        idx2, keep_dev, X = _mine_step(
+            prev_feats.desc,
+            prev_feats.uv,
+            jnp.asarray(avail1),
+            feats.desc,
+            feats.uv,
+            feats.valid,
+            jnp.asarray(self.map.kf_R[prev_id]),
+            jnp.asarray(self.map.kf_t[prev_id]),
+            jnp.asarray(self.map.kf_R[kf_id]),
+            jnp.asarray(self.map.kf_t[kf_id]),
+            self.intr,
+            cfg.frontend.match_ratio,
+            cfg.frontend.max_hamming,
+            cfg.keyframe.triangulation_reproj_px,
+            cfg.keyframe.max_new_depth,
         )
-        depth_ok = (z1 > 0) & (z2 > 0) & (z1 < cfg.keyframe.max_new_depth) & (z2 < cfg.keyframe.max_new_depth)
-        keep = np.asarray(reproj_ok & depth_ok) & good_np
+        idx2_np = np.asarray(idx2)
+        keep = np.array(keep_dev)
+        # Don't re-map features already matched to existing landmarks.
+        keep &= ~mapped_cur[idx2_np]
         sel = np.where(keep)[0]
         if len(sel) == 0:
             return
         X_np = np.asarray(X)
         pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
-        self.map.add_observations(prev_id, pt_ids, np.asarray(uv1)[sel])
+        self.map.add_observations(prev_id, pt_ids, np.asarray(prev_feats.uv)[sel])
         self.map.add_observations(kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]])
         mapped_cur[idx2_np[sel]] = True
 
@@ -440,9 +474,13 @@ class Slam:
         ):
             self.stats["ba_rejected"] = self.stats.get("ba_rejected", 0) + 1
             return
+        gauge_changed = False
         if scale_gauge:
             prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
+            gauge_changed = True
         self.map.update_from_ba(prob)
+        if gauge_changed:
+            self.map.refresh_scale_meas()
         self.stats["ba_runs"] += 1
 
     def ba_iters_per_s(self) -> float:
