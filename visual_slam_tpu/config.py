@@ -31,6 +31,7 @@ class TwoViewConfig:
     min_valid_fraction: float = 0.9  # cheirality gate (main.py:113-114)
     distance_thresh: float = 50.0  # recoverPose distanceThresh (helper_functions.py:176)
     min_init_parallax_deg: float = 1.0  # median-parallax init gate (new; see pipeline._init_step)
+    use_model_selection: bool = False  # homography-vs-essential init (v1 slam_test.py:207-218)
 
 
 @dataclass

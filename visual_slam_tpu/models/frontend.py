@@ -32,26 +32,28 @@ class Features(NamedTuple):
 
 @partial(jax.jit, static_argnames=("max_features",))
 def _extract_stage1(img: jnp.ndarray, max_features: int):
-    """Detection + blur + orientation + descriptor sample indices.
-
-    Everything here is conv/elementwise/top-k work that XLA fuses well; the
-    large dynamic gather is deliberately left to stage 2 (see
-    ops.descriptor.describe for why the split matters on TPU).
-    """
+    """Detection + blur + orientation (conv/top-k work only)."""
     if img.ndim == 3:
         img = to_gray(img)
     uv, score, valid = detect.detect_corners(img, max_corners=max_features)
     blurred = detect.gaussian_blur(img, sigma=2.0, radius=4)
     theta = detect.orientation(img, uv)
-    H, W = img.shape
-    idx, fx, fy = descriptor.sample_offsets(uv, theta, W, H)
-    return uv, score, valid, blurred, idx, fx, fy
+    return uv, score, valid, blurred, theta
 
 
 def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
     """Full front-end for one image: grayscale (H,W) float32 in [0,1] or
-    RGB (H,W,3) uint8 (converted on-device). Two jit dispatches by design."""
-    uv, score, valid, blurred, idx, fx, fy = _extract_stage1(img, max_features)
+    RGB (H,W,3) uint8 (converted on-device).
+
+    THREE jit dispatches by design: detection convs, descriptor sample-index
+    computation, and the large gather each get their own XLA computation.
+    Whenever the (K,512) index production fuses with either neighbor, the
+    TPU backend serializes the gather (measured ~100x slowdown); the
+    dispatch overhead (~0.1 ms each) is noise in comparison.
+    """
+    uv, score, valid, blurred, theta = _extract_stage1(img, max_features)
+    H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
+    idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
     desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 

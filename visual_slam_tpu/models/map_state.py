@@ -148,6 +148,31 @@ class SlamMap:
             valid=jnp.asarray(valid),
         )
 
+    def global_snapshot(self):
+        """Fixed-shape view of the globally best-observed landmarks (for
+        relocalization): same layout as `local_snapshot`, points ranked by
+        observation count."""
+        M = self.config.track_capacity
+        valid_ids = np.where(self.pt_valid)[0]
+        order = np.argsort(-self.pt_views[valid_ids])
+        ids = valid_ids[order][:M]
+        n = len(ids)
+        xyz = np.zeros((M, 3), np.float32)
+        desc = np.zeros((M, 8), np.uint32)
+        pid = np.zeros(M, np.int32)
+        valid = np.zeros(M, bool)
+        xyz[:n] = self.pt_xyz[ids]
+        desc[:n] = self.pt_desc[ids]
+        pid[:n] = ids
+        valid[:n] = True
+        return dict(
+            xyz=jnp.asarray(xyz),
+            desc=jnp.asarray(desc),
+            uv=jnp.zeros((M, 2), jnp.float32),
+            pt_ids=jnp.asarray(pid),
+            valid=jnp.asarray(valid),
+        )
+
     def refresh_scale_meas(self) -> None:
         """Re-capture scale-edge measurements from the current poses.
 

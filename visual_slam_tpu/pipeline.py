@@ -83,7 +83,7 @@ def _track_step(
     return R, t, inliers, idx2, n_in
 
 
-@partial(jax.jit, static_argnames=("n_hyps",))
+@partial(jax.jit, static_argnames=("n_hyps", "model_selection"))
 def _init_step(
     f0_desc,
     f0_uv,
@@ -98,6 +98,7 @@ def _init_step(
     ess_threshold,
     distance_thresh,
     n_hyps: int,
+    model_selection: bool = False,
 ):
     """Two-view initialization attempt as ONE jitted computation.
 
@@ -112,12 +113,18 @@ def _init_step(
     )
     uv1 = f0_uv
     uv2 = f1_uv[idx2]
-    E, inl, n_in = twoview.estimate_essential_ransac(
-        key, uv1, uv2, intr, good, threshold=ess_threshold, n_hyps=n_hyps
-    )
-    R, t, X1, cheir, frac = twoview.estimate_relative_pose(
-        E, uv1, uv2, intr, inl, distance_thresh
-    )
+    if model_selection:
+        # Homography-vs-essential selection (v1 slam_test.py:207-218).
+        R, t, X1, cheir, frac, _ = twoview.estimate_relative_pose_auto(
+            key, uv1, uv2, intr, good, distance_thresh=distance_thresh
+        )
+    else:
+        E, inl, n_in = twoview.estimate_essential_ransac(
+            key, uv1, uv2, intr, good, threshold=ess_threshold, n_hyps=n_hyps
+        )
+        R, t, X1, cheir, frac = twoview.estimate_relative_pose(
+            E, uv1, uv2, intr, inl, distance_thresh
+        )
     n_matches = jnp.sum(good)
     # Median triangulation parallax of the cheirality-good points (degrees).
     # A low-parallax pair can pass the validFraction gate by luck of the
@@ -269,6 +276,7 @@ class Slam:
             cfg.twoview.ess_threshold_factor / float(self.cfg.intrinsics[0]),
             cfg.twoview.distance_thresh,
             n_hyps=cfg.twoview.ransac_hypotheses,
+            model_selection=cfg.twoview.use_model_selection,
         )
         n_matches = int(n_matches_dev)
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
@@ -354,9 +362,19 @@ class Slam:
         )
         n_tracked = int(n_in)
         tm.__exit__(None, None, None)
+        relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
-            # Tracking failure: keep previous pose (constant-position fallback).
-            R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
+            # Tracking failure (the reference has no recovery, SURVEY.md §5).
+            # Try relocalizing against the global map; else keep previous
+            # pose (constant-position fallback).
+            self.stats["track_failures"] = self.stats.get("track_failures", 0) + 1
+            ok, R_np, t_np, _, _, n_tracked = self._relocalize(feats)
+            relocalized = ok
+            if not ok:
+                R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
+            else:
+                self.stats["relocalizations"] = self.stats.get("relocalizations", 0) + 1
+                self._prev_R, self._prev_t = R_np, t_np
         else:
             R_np, t_np = np.asarray(R), np.asarray(t)
             self._prev_R, self._prev_t = R_np, t_np
@@ -368,9 +386,45 @@ class Slam:
             or n_tracked < cfg.keyframe.min_tracked
         ) and n_tracked < cfg.keyframe.tracked_ratio * max(n_local, 1)
         is_kf = is_kf and n_tracked >= cfg.tracking.min_tracked_points
+        # A relocalized frame's match indices refer to the global snapshot,
+        # not the tracking snapshot — never promote it in the same step.
+        is_kf = is_kf and not relocalized
         if is_kf:
             self._insert_keyframe(frame_idx, feats, R_np, t_np, inliers, idx2, depth)
         self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
+
+    def _relocalize(self, feats):
+        """Global-map PnP relocalization after a tracking failure.
+
+        Matches the frame against the best-observed landmarks of the whole
+        map and solves PnP with a full hypothesis budget. Same jitted
+        _track_step (identical shapes — no recompile).
+        """
+        cfg = self.cfg
+        snap = self.map.global_snapshot()
+        R, t, inliers, idx2, n_in = _track_step(
+            feats.desc,
+            feats.uv,
+            feats.valid,
+            snap["desc"],
+            snap["xyz"],
+            snap["valid"],
+            jnp.asarray(self._prev_R),
+            jnp.asarray(self._prev_t),
+            self.intr,
+            self._next_key(),
+            cfg.frontend.match_ratio,
+            cfg.frontend.max_hamming,
+            cfg.tracking.pnp_threshold_px,
+            n_hyps=cfg.tracking.pnp_hypotheses,
+            refine_iters=cfg.tracking.refine_iters,
+        )
+        n = int(n_in)
+        ok = n >= cfg.tracking.min_tracked_points
+        # The returned inliers/idx2 index the *global* snapshot, which is not
+        # the tracking snapshot; a relocalized frame is never a keyframe in
+        # the same step, so the caller only uses the pose and count.
+        return ok, np.asarray(R), np.asarray(t), inliers, idx2, n
 
     # --------------------------------------------------------------- keyframe
 
@@ -515,8 +569,24 @@ class Slam:
         return idxs, centres
 
 
+def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConfig:
+    """Size map capacities for an n-frame run (keyframe cadence is bounded
+    below by the 20-frame rule, so ~n/10 keyframes is a safe ceiling)."""
+    cfg = config or SlamConfig()
+    need_kf = max(64, 2 ** int(np.ceil(np.log2(max(n_frames // 8, 1)))))
+    if cfg.map.max_keyframes < need_kf:
+        cfg.map.max_keyframes = need_kf
+        cfg.map.max_points = max(cfg.map.max_points, need_kf * 256)
+        cfg.map.max_observations = max(cfg.map.max_observations, need_kf * 1024)
+    return cfg
+
+
 def run_sequence(dataset, config: SlamConfig | None = None, start=0, stop=None, verbose=False):
-    """Run SLAM over a dataset; returns the Slam object."""
+    """Run SLAM over a dataset; returns the Slam object. When no config is
+    given, map capacities are sized to the frame range."""
+    if config is None:
+        n = (stop if stop is not None else len(dataset)) - start
+        config = size_config_for(n)
     slam = Slam(config)
     for i, gray, depth in dataset.frames(start, stop):
         slam.process(i, gray, depth)
