@@ -41,20 +41,32 @@ def _extract_stage1(img: jnp.ndarray, max_features: int):
     return uv, score, valid, blurred, theta
 
 
+# Descriptor backend: "mxu" = gather-free Pallas-patch + sampling-matrix
+# matmuls (deterministic performance — see ops.descriptor_mxu); "bilinear" =
+# continuous-rotation gather sampler (ops.descriptor). Both 256-bit rBRIEF;
+# not bit-compatible with each other.
+DESCRIPTOR_BACKEND = "mxu"
+
+
 def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
     """Full front-end for one image: grayscale (H,W) float32 in [0,1] or
     RGB (H,W,3) uint8 (converted on-device).
 
-    THREE jit dispatches by design: detection convs, descriptor sample-index
-    computation, and the large gather each get their own XLA computation.
-    Whenever the (K,512) index production fuses with either neighbor, the
-    TPU backend serializes the gather (measured ~100x slowdown); the
-    dispatch overhead (~0.1 ms each) is noise in comparison.
+    Multiple jit dispatches by design: whenever the descriptor sampler's
+    index production fuses with its neighbors, the TPU backend's gather
+    lowering can serialize (measured ~100x slowdown, nondeterministic
+    across compiles); the dispatch overhead (~0.1 ms each) is noise.
     """
     uv, score, valid, blurred, theta = _extract_stage1(img, max_features)
-    H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
-    idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
-    desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
+    if DESCRIPTOR_BACKEND == "mxu":
+        from ..ops import descriptor_mxu
+
+        interp = jax.default_backend() != "tpu"
+        desc = descriptor_mxu.describe_mxu(blurred, uv, theta, interpret=interp)
+    else:
+        H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
+        idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
+        desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 

@@ -1,0 +1,101 @@
+"""MXU-based rBRIEF descriptors: gather-free sampling via per-rotation
+sampling matrices.
+
+The bilinear-gather sampler (ops.descriptor) is at the mercy of XLA's
+gather lowering, which compiles nondeterministically on this backend. This
+path has no gathers at all:
+
+  1. ops.pallas.patch_kernel extracts a 32x32 patch per keypoint
+     (dynamic-slice copies in VMEM),
+  2. the keypoint orientation is quantized to N_BINS rotations; each bin b
+     has a precomputed sampling matrix S_b (1024 x 512) whose columns hold
+     the bilinear weights of one rotated BRIEF sample point,
+  3. samples = patches_flat @ S_b — batched MXU matmuls over all bins, with
+     a one-hot bin-selection contraction (no gather),
+  4. compare + pack bits exactly like the reference path.
+
+Rotation quantization (±180/N_BINS deg) is the standard ORB discretization
+(ORB uses 30 bins / 12 deg); descriptors remain compatible in spirit but NOT
+bit-identical to ops.descriptor's continuous-rotation sampler — a frame
+must be described by one path consistently.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import descriptor as desc_ref
+from .pallas import patch_kernel
+
+N_BINS = 32
+N_BITS = desc_ref.N_BITS
+N_WORDS = desc_ref.N_WORDS
+PATCH = patch_kernel.PATCH
+_CENTER = PATCH // 2 - 1  # keypoint sits at (15,15) for integer corners
+
+
+def _build_sampling_matrices() -> np.ndarray:
+    """(N_BINS, PATCH*PATCH, 512) float32 bilinear sampling matrices."""
+    pat = np.asarray(desc_ref.PATTERN)  # (256,2,2) offsets
+    # Flatten endpoints like ops.descriptor: [256 first, 256 second].
+    px = np.concatenate([pat[:, 0, 0], pat[:, 1, 0]])  # (512,)
+    py = np.concatenate([pat[:, 0, 1], pat[:, 1, 1]])
+    S = np.zeros((N_BINS, PATCH * PATCH, 512), np.float32)
+    for b in range(N_BINS):
+        th = 2 * np.pi * b / N_BINS
+        c, s = np.cos(th), np.sin(th)
+        xs = _CENTER + c * px - s * py
+        ys = _CENTER + s * px + c * py
+        x0 = np.clip(np.floor(xs), 0, PATCH - 2).astype(np.int64)
+        y0 = np.clip(np.floor(ys), 0, PATCH - 2).astype(np.int64)
+        fx = xs - x0
+        fy = ys - y0
+        cols = np.arange(512)
+        S[b, y0 * PATCH + x0, cols] += (1 - fx) * (1 - fy)
+        S[b, y0 * PATCH + x0 + 1, cols] += fx * (1 - fy)
+        S[b, (y0 + 1) * PATCH + x0, cols] += (1 - fx) * fy
+        S[b, (y0 + 1) * PATCH + x0 + 1, cols] += fx * fy
+    return S
+
+
+_S = jnp.asarray(_build_sampling_matrices(), dtype=jnp.float32)  # (B,1024,512)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def describe_mxu(
+    img_blurred: jnp.ndarray,
+    uv: jnp.ndarray,
+    theta: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H,W) blurred image + (K,2) integer keypoints + (K,) orientations
+    -> (K,8) packed 256-bit descriptors. No gathers on the whole path."""
+    K = uv.shape[0]
+    patches, frac = patch_kernel.extract_patches(img_blurred, uv, interpret=interpret)
+    flat = patches.reshape(K, PATCH * PATCH)
+    # Soft bin assignment: blend the two adjacent rotation bins linearly.
+    # Hard quantization flips the whole pattern when a keypoint's (noisy)
+    # orientation crosses a bin boundary between frames, destroying
+    # frame-to-frame descriptor stability; the soft blend keeps the sampled
+    # values continuous in theta (the image is pre-blurred, so linear
+    # interpolation between nearby rotations is accurate).
+    bin_f = jnp.mod(theta, 2 * jnp.pi) / (2 * jnp.pi) * N_BINS
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % N_BINS
+    b1 = (b0 + 1) % N_BINS
+    alpha = (bin_f - jnp.floor(bin_f)).astype(flat.dtype)
+    onehot = (
+        jax.nn.one_hot(b0, N_BINS, dtype=flat.dtype) * (1 - alpha)[:, None]
+        + jax.nn.one_hot(b1, N_BINS, dtype=flat.dtype) * alpha[:, None]
+    )  # (K,B)
+    # All-bin sampling on the MXU, then one-hot select.
+    outs = jnp.einsum(
+        "kp,bps->bks", flat, _S, preferred_element_type=jnp.float32
+    )  # (B,K,512)
+    samples = jnp.einsum("bks,kb->ks", outs, onehot)
+    bits = (samples[:, :N_BITS] < samples[:, N_BITS:]).astype(jnp.uint32)
+    bits = bits.reshape(K, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)

@@ -17,12 +17,18 @@ import jax.numpy as jnp
 
 
 def _conv2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Same-padding 2D convolution of a (H,W) image with a (kh,kw) kernel."""
+    """Same-padding 2D convolution of a (H,W) image with a (kh,kw) kernel.
+
+    HIGHEST precision: corner selection ranks near-equal responses, and the
+    TPU's default reduced-precision convolutions reorder that ranking vs
+    CPU — exact f32 keeps detection deterministic across backends.
+    """
     return jax.lax.conv_general_dilated(
         img[None, None, :, :],
         kernel[None, None, :, :],
         window_strides=(1, 1),
         padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 
