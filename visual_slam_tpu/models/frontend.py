@@ -41,11 +41,46 @@ def _extract_stage1(img: jnp.ndarray, max_features: int):
     return uv, score, valid, blurred, theta
 
 
-# Descriptor backend: "mxu" = gather-free Pallas-patch + sampling-matrix
-# matmuls (deterministic performance — see ops.descriptor_mxu); "bilinear" =
-# continuous-rotation gather sampler (ops.descriptor). Both 256-bit rBRIEF;
-# not bit-compatible with each other.
-DESCRIPTOR_BACKEND = "mxu"
+@jax.jit
+def _to_gray_jit(img: jnp.ndarray) -> jnp.ndarray:
+    return to_gray(img) if img.ndim == 3 else img
+
+
+@partial(jax.jit, static_argnames=("max_features", "quality_level", "border"))
+def _topk_select(peaks: jnp.ndarray, max_features: int, quality_level: float = 0.01, border: int = 16):
+    H, W = peaks.shape
+    top, idx = jax.lax.top_k(peaks.reshape(-1), max_features)
+    y = (idx // W).astype(jnp.float32)
+    x = (idx % W).astype(jnp.float32)
+    uv = jnp.stack([x, y], axis=-1)
+    valid = (top > quality_level * top[0]) & jnp.isfinite(top)
+    return uv, top, valid
+
+
+def extract_pallas(img: jnp.ndarray, max_features: int = 1024) -> Features:
+    """Deterministic-performance front-end: every heavy stage is a Pallas
+    kernel or an MXU matmul; the only XLA ops are elementwise gray
+    conversion, top-k selection, and small einsums. This is the production
+    TPU path (see ops.descriptor_mxu for the rationale — XLA's conv/gather
+    lowerings compile nondeterministically on this backend).
+    """
+    from ..ops import descriptor_mxu
+    from ..ops.pallas import detect_kernel, patch_kernel
+
+    interp = jax.default_backend() != "tpu"
+    gray = _to_gray_jit(jnp.asarray(img))
+    peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(gray, interpret=interp)
+    uv, score, valid = _topk_select(peaks, max_features)
+    windows, ry, rx = patch_kernel.extract_windows(blurred, uv, interpret=interp)
+    desc, theta = descriptor_mxu.describe_from_windows(windows, ry, rx)
+    return Features(uv=uv, desc=desc, score=score, valid=valid)
+
+
+# Front-end backend: "pallas" = fully deterministic-performance path
+# (Pallas detect/blur + Pallas patch windows + MXU sampling matmuls);
+# "xla" = conv/gather path (ops.detect + ops.descriptor). Descriptors of
+# the two paths are not bit-compatible.
+FRONTEND_BACKEND = "pallas"
 
 
 def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
@@ -57,16 +92,12 @@ def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
     lowering can serialize (measured ~100x slowdown, nondeterministic
     across compiles); the dispatch overhead (~0.1 ms each) is noise.
     """
+    if FRONTEND_BACKEND == "pallas":
+        return extract_pallas(img, max_features)
     uv, score, valid, blurred, theta = _extract_stage1(img, max_features)
-    if DESCRIPTOR_BACKEND == "mxu":
-        from ..ops import descriptor_mxu
-
-        interp = jax.default_backend() != "tpu"
-        desc = descriptor_mxu.describe_mxu(blurred, uv, theta, interpret=interp)
-    else:
-        H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
-        idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
-        desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
+    H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
+    idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
+    desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 

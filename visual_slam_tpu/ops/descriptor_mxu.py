@@ -64,6 +64,59 @@ def _build_sampling_matrices() -> np.ndarray:
 _S = jnp.asarray(_build_sampling_matrices(), dtype=jnp.float32)  # (B,1024,512)
 
 
+def _orientation_weights():
+    """Intensity-centroid moment weights over the patch (ORB orientation),
+    evaluated on the descriptor patch instead of an image-wide convolution
+    (ops.detect.orientation): no convs, no gathers."""
+    r = PATCH // 2 - 2  # stay inside the patch
+    ys, xs = np.mgrid[0:PATCH, 0:PATCH]
+    dx = (xs - _CENTER).astype(np.float32)
+    dy = (ys - _CENTER).astype(np.float32)
+    circle = ((dx**2 + dy**2) <= r * r).astype(np.float32)
+    return (dx * circle).reshape(-1), (dy * circle).reshape(-1)
+
+
+_WX, _WY = (jnp.asarray(w) for w in _orientation_weights())
+
+
+def orientation_from_patches(flat_patches: jnp.ndarray) -> jnp.ndarray:
+    """(K, PATCH*PATCH) -> (K,) intensity-centroid orientation (radians)."""
+    m10 = flat_patches @ _WX
+    m01 = flat_patches @ _WY
+    return jnp.arctan2(m01, m10)
+
+
+@jax.jit
+def describe_from_windows(
+    windows: jnp.ndarray, ry: jnp.ndarray, rx: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Aligned windows (from ops.pallas.patch_kernel.extract_windows) ->
+    (descriptors (K,8) uint32, orientations (K,)). Gather-free."""
+    patches = patch_kernel.cut_patches(windows, ry, rx)
+    K = patches.shape[0]
+    flat = patches.reshape(K, PATCH * PATCH)
+    theta = orientation_from_patches(flat)
+    return _sample_and_pack(flat, theta), theta
+
+
+def _sample_and_pack(flat: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    K = flat.shape[0]
+    bin_f = jnp.mod(theta, 2 * jnp.pi) / (2 * jnp.pi) * N_BINS
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % N_BINS
+    b1 = (b0 + 1) % N_BINS
+    alpha = (bin_f - jnp.floor(bin_f)).astype(flat.dtype)
+    onehot = (
+        jax.nn.one_hot(b0, N_BINS, dtype=flat.dtype) * (1 - alpha)[:, None]
+        + jax.nn.one_hot(b1, N_BINS, dtype=flat.dtype) * alpha[:, None]
+    )
+    outs = jnp.einsum("kp,bps->bks", flat, _S, preferred_element_type=jnp.float32)
+    samples = jnp.einsum("bks,kb->ks", outs, onehot)
+    bits = (samples[:, :N_BITS] < samples[:, N_BITS:]).astype(jnp.uint32)
+    bits = bits.reshape(K, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def describe_mxu(
     img_blurred: jnp.ndarray,

@@ -110,6 +110,63 @@ def corner_peaks_pallas(
     )(img.astype(jnp.float32))
 
 
+def _detect_blur_kernel(img_ref, peaks_ref, blur_ref, *, nms_radius: int,
+                        border: int, blur_radius: int, blur_sigma: float):
+    """Fused corner peaks + Gaussian blur in one VMEM residency."""
+    import numpy as np
+
+    _detect_kernel(img_ref, peaks_ref, nms_radius=nms_radius, border=border)
+    img = img_ref[:]
+    # Separable Gaussian via shift-and-add with baked-in weights.
+    x = np.arange(-blur_radius, blur_radius + 1)
+    g = np.exp(-0.5 * (x / blur_sigma) ** 2)
+    g = (g / g.sum()).astype(np.float32)
+    h = img * float(g[blur_radius])
+    for d in range(1, blur_radius + 1):
+        w = float(g[blur_radius + d])
+        h = h + (_shift(img, 0, -d) + _shift(img, 0, d)) * w
+    v = h * float(g[blur_radius])
+    for d in range(1, blur_radius + 1):
+        w = float(g[blur_radius + d])
+        v = v + (_shift(h, -d, 0) + _shift(h, d, 0)) * w
+    blur_ref[:] = v
+
+
+@partial(jax.jit, static_argnames=("nms_radius", "border", "blur_radius", "interpret"))
+def corner_peaks_and_blur_pallas(
+    img: jnp.ndarray,
+    nms_radius: int = 3,
+    border: int = 16,
+    blur_radius: int = 4,
+    blur_sigma: float = 2.0,
+    interpret: bool = False,
+):
+    """(H,W) image -> (NMS'd corner peaks, Gaussian-blurred image).
+
+    One kernel, one HBM round trip: the detection response/NMS and the
+    descriptor-stage blur share the VMEM-resident image.
+    """
+    return pl.pallas_call(
+        partial(
+            _detect_blur_kernel,
+            nms_radius=nms_radius,
+            border=border,
+            blur_radius=blur_radius,
+            blur_sigma=blur_sigma,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(img.shape, jnp.float32),
+            jax.ShapeDtypeStruct(img.shape, jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(img.astype(jnp.float32))
+
+
 def detect_corners_pallas(
     img: jnp.ndarray,
     max_corners: int = 1024,

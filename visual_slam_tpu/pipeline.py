@@ -305,6 +305,20 @@ class Slam:
         mapped[idx2_np[sel]] = True
         # Full BA with monocular median-depth gauge (≙ main.py:145-148).
         self._run_full_ba(scale_gauge=cfg.ba.scale_gauge_on_init)
+        # Init quality gate (new; the reference accepts any pair passing the
+        # match/cheirality gates, which occasionally seeds a degenerate map):
+        # after BA the surviving map must reproject tightly, else roll back
+        # and keep searching for a better pair.
+        prob = self.map.to_ba_problem(self.cfg.intrinsics)
+        r, _, _, _ = ba_mod._residuals_and_jacobians(prob)
+        w_np = np.asarray(prob.w)
+        err = np.sqrt(np.sum(np.asarray(r) ** 2, -1))
+        n_obs = max(float(w_np.sum()), 1.0)
+        tight_frac = float(((err < 2.0) * w_np).sum() / n_obs)
+        if tight_frac < 0.75 or n_obs < 2 * cfg.twoview.min_matches:
+            self.map = SlamMap(self.cfg.map)  # rollback, retry next frames
+            self.stats["init_rollbacks"] = self.stats.get("init_rollbacks", 0) + 1
+            return
         self._finish_keyframe(kf1, feats, mapped, frame_idx)
         self.initialized = True
         self.stats["init_frame"] = frame_idx
@@ -522,9 +536,19 @@ class Slam:
             )
             cost_after = float(cost)
         # Failure detection (SURVEY.md §5 — the reference has none): reject a
-        # BA result that diverged or went non-finite; keep the pre-BA state.
-        if not np.isfinite(cost_after) or (
-            np.isfinite(cost_before) and cost_after > 2.0 * cost_before
+        # BA result that diverged, went non-finite, or can no longer explain
+        # a healthy fraction of its observations (a decreasing robust cost
+        # can still mean the solution warped — Huber caps each bad residual's
+        # contribution, so wholesale outlier-ification looks "cheap").
+        r_chk, _, _, _ = ba_mod._residuals_and_jacobians(prob)
+        err_chk = np.sqrt(np.sum(np.asarray(r_chk) ** 2, -1))
+        w_chk = np.asarray(prob.w)
+        n_obs = max(float(w_chk.sum()), 1.0)
+        blown = float(((err_chk > 3.0 * ba_mod.HUBER_DELTA) * w_chk).sum() / n_obs)
+        if (
+            not np.isfinite(cost_after)
+            or (np.isfinite(cost_before) and cost_after > 2.0 * cost_before)
+            or blown > 0.3
         ):
             self.stats["ba_rejected"] = self.stats.get("ba_rejected", 0) + 1
             return
@@ -535,6 +559,16 @@ class Slam:
         self.map.update_from_ba(prob)
         if gauge_changed:
             self.map.refresh_scale_meas()
+        # Prune observations the optimized map cannot explain (reproj error
+        # beyond the Huber regime). The reference only downweights them
+        # (robust kernel); leaving them in the table lets a few bad
+        # associations steer later solves.
+        r, _, _, _ = ba_mod._residuals_and_jacobians(prob)
+        err = np.sqrt(np.sum(np.asarray(r) ** 2, -1))
+        bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (np.asarray(prob.w) > 0)
+        if bad.any():
+            self.map.obs_valid &= ~bad[: len(self.map.obs_valid)]
+            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + int(bad.sum())
         self.stats["ba_runs"] += 1
 
     def ba_iters_per_s(self) -> float:

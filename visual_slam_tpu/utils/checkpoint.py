@@ -16,6 +16,7 @@ _ARRAYS = [
     "kf_t",
     "kf_valid",
     "kf_frame_idx",
+    "kf_scale_meas",
     "pt_xyz",
     "pt_desc",
     "pt_valid",
