@@ -146,3 +146,27 @@ def test_median_depth_normalize(rng):
     norms = np.linalg.norm(np.asarray(out.X), axis=-1)
     med = np.median(norms)
     assert abs(med - 1.0) < 0.05
+
+
+def test_ell_path_matches_scatter(rng):
+    """The ELL (gather+dense-sum) reduction path must reproduce the scatter
+    path exactly — same math, different memory access pattern."""
+    prob, _ = synth_problem(rng, K=5, P=120, pose_noise=0.02, point_noise=0.03)
+    K, P = 5, 120
+    cam_obs, cam_ok, pt_obs, pt_ok = ba.build_ell_tables(
+        prob.cam, prob.pnt, np.asarray(prob.w) > 0, K, P, 200, 8
+    )
+    prob_ell = prob._replace(
+        cam_obs=jnp.asarray(cam_obs),
+        cam_obs_ok=jnp.asarray(cam_ok),
+        pt_obs=jnp.asarray(pt_obs),
+        pt_obs_ok=jnp.asarray(pt_ok),
+    )
+    out_sc, c_sc = ba.optimize(prob, n_iters=5)
+    out_el, c_el = ba.optimize(prob_ell, n_iters=5)
+    np.testing.assert_allclose(np.asarray(out_el.R), np.asarray(out_sc.R), atol=1e-5)
+    # Summation order differs, so float noise walks along the unobservable
+    # monocular scale direction — compare after scale alignment.
+    s = np.linalg.norm(np.asarray(out_el.t[1])) / np.linalg.norm(np.asarray(out_sc.t[1]))
+    np.testing.assert_allclose(np.asarray(out_el.t) / s, np.asarray(out_sc.t), atol=1e-3)
+    np.testing.assert_allclose(float(c_el), float(c_sc), rtol=1e-3, atol=1e-6)

@@ -63,10 +63,21 @@ class BAProblem(NamedTuple):
     se_j: jnp.ndarray  # (E,) int32 scale-edge second keyframe
     se_meas: jnp.ndarray  # (E,) measured ||t_rel||
     se_w: jnp.ndarray  # (E,) scale-edge weights (0 = padding)
+    # Optional ELL-format reduction tables (single-device fast path). TPU
+    # scatter-adds serialize, so when these are provided every segment-sum
+    # becomes gather + dense-axis sum: cam_obs (K,Qc) / pt_obs (P,Qp) hold
+    # observation-row indices per camera / per landmark, with 0/1 validity.
+    # None => scatter path (required for the observation-sharded solver,
+    # whose shards cannot index a global table).
+    cam_obs: jnp.ndarray | None = None  # (K,Qc) int32
+    cam_obs_ok: jnp.ndarray | None = None  # (K,Qc) float32
+    pt_obs: jnp.ndarray | None = None  # (P,Qp) int32
+    pt_obs_ok: jnp.ndarray | None = None  # (P,Qp) float32
 
 
 def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
-                 se_i=None, se_j=None, se_meas=None, se_w=None) -> BAProblem:
+                 se_i=None, se_j=None, se_meas=None, se_w=None,
+                 cam_obs=None, cam_obs_ok=None, pt_obs=None, pt_obs_ok=None) -> BAProblem:
     """BAProblem constructor with empty-by-default scale edges."""
     if se_i is None:
         se_i = jnp.zeros(1, jnp.int32)
@@ -74,7 +85,51 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
         se_meas = jnp.zeros(1, R.dtype)
         se_w = jnp.zeros(1, R.dtype)
     return BAProblem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
-                     se_i, se_j, se_meas, se_w)
+                     se_i, se_j, se_meas, se_w,
+                     cam_obs, cam_obs_ok, pt_obs, pt_obs_ok)
+
+
+def build_ell_tables(cam, pnt, valid, K, P, max_per_cam, max_per_pnt):
+    """Host-side (NumPy, vectorized) construction of the ELL tables."""
+    import numpy as _np
+
+    def _fill(keys, n_keys, Q):
+        idxs = _np.where(_np.asarray(valid))[0]
+        k = _np.asarray(keys)[idxs]
+        order = _np.argsort(k, kind="stable")
+        sk = k[order]
+        si = idxs[order].astype(_np.int32)
+        first = _np.searchsorted(sk, _np.arange(n_keys), side="left")
+        pos = _np.arange(len(sk)) - first[sk]
+        if len(pos) and pos.max() >= Q:
+            raise RuntimeError("ELL table capacity exceeded")
+        tab = _np.zeros((n_keys, Q), _np.int32)
+        ok = _np.zeros((n_keys, Q), _np.float32)
+        tab[sk, pos] = si
+        ok[sk, pos] = 1.0
+        return tab, ok
+
+    cam_obs, cam_ok = _fill(cam, K, max_per_cam)
+    pt_obs, pt_ok = _fill(pnt, P, max_per_pnt)
+    return cam_obs, cam_ok, pt_obs, pt_ok
+
+
+def _seg_cam(vals: jnp.ndarray, p: BAProblem, K: int) -> jnp.ndarray:
+    """Sum per-observation values into camera slots: (O, D...) -> (K, D...)."""
+    if p.cam_obs is not None:
+        g = vals[p.cam_obs]  # (K,Qc,D...)
+        ok = p.cam_obs_ok.reshape(p.cam_obs_ok.shape + (1,) * (g.ndim - 2))
+        return jnp.sum(g * ok, axis=1)
+    return jnp.zeros((K,) + vals.shape[1:], vals.dtype).at[p.cam].add(vals)
+
+
+def _seg_pnt(vals: jnp.ndarray, p: BAProblem, P: int) -> jnp.ndarray:
+    """Sum per-observation values into landmark slots: (O, D...) -> (P, D...)."""
+    if p.pt_obs is not None:
+        g = vals[p.pt_obs]  # (P,Qp,D...)
+        ok = p.pt_obs_ok.reshape(p.pt_obs_ok.shape + (1,) * (g.ndim - 2))
+        return jnp.sum(g * ok, axis=1)
+    return jnp.zeros((P,) + vals.shape[1:], vals.dtype).at[p.pnt].add(vals)
 
 
 def _scale_edge_residual(R, t, se_i, se_j, se_meas):
@@ -199,14 +254,10 @@ def _build_blocks(p: BAProblem, lm_lambda, axis_name=None):
     # all products below are J^T W J, so fold w into one side).
     wJc = Jc * w[:, None, None]
     wJp = Jp * w[:, None, None]
-    U = jnp.zeros((K, 6, 6), r.dtype).at[p.cam].add(
-        jnp.einsum("oik,oil->okl", wJc, Jc)
-    )
-    V = jnp.zeros((P, 3, 3), r.dtype).at[p.pnt].add(
-        jnp.einsum("oik,oil->okl", wJp, Jp)
-    )
-    g_c = jnp.zeros((K, 6), r.dtype).at[p.cam].add(jnp.einsum("oik,oi->ok", wJc, r))
-    g_p = jnp.zeros((P, 3), r.dtype).at[p.pnt].add(jnp.einsum("oik,oi->ok", wJp, r))
+    U = _seg_cam(jnp.einsum("oik,oil->okl", wJc, Jc), p, K)
+    V = _seg_pnt(jnp.einsum("oik,oil->okl", wJp, Jp), p, P)
+    g_c = _seg_cam(jnp.einsum("oik,oi->ok", wJc, r), p, K)
+    g_p = _seg_pnt(jnp.einsum("oik,oi->ok", wJp, r), p, P)
     # Observation-sharded execution: each shard built partial blocks from its
     # slice of the table; all-reduce them (the "psum of reduced camera
     # systems" design, SURVEY.md §2.3).
@@ -237,8 +288,9 @@ def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
     return x * (~cam_fixed)[:, None].astype(x.dtype)
 
 
-def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed,
-                  se_i, se_j, H_ij, axis_name=None):
+def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, p, H_ij, axis_name=None):
+    cam, pnt, cam_fixed = p.cam, p.pnt, p.cam_fixed
+    se_i, se_j = p.se_i, p.se_j
     """y = S x with S = U - W V^{-1} W^T applied implicitly.
 
     W_ip = sum_obs Jc^T w Jp over observations of (cam i, point p); the
@@ -251,14 +303,12 @@ def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, cam, pnt, cam_fixed,
     # a_o = (w Jp)^T Jc x_cam(o): (O,3)
     Jc_x = jnp.einsum("oik,ok->oi", Jc, x[cam])  # (O,2)
     a = jnp.einsum("oik,oi,o->ok", Jp, Jc_x, w)  # (O,3)
-    b = _psum(
-        jnp.zeros((V_inv.shape[0], 3), x.dtype).at[pnt].add(a), axis_name
-    )  # W^T x per point
+    b = _psum(_seg_pnt(a, p, V_inv.shape[0]), axis_name)  # W^T x per point
     c = jnp.einsum("pij,pj->pi", V_inv, b)  # V^{-1} W^T x
     # d_o = Jc^T w Jp c_pnt(o): (O,6)
     Jp_c = jnp.einsum("oik,ok->oi", Jp, c[pnt])  # (O,2)
     d = jnp.einsum("oik,oi,o->ok", Jc, Jp_c, w)  # (O,6)
-    y = y - _psum(jnp.zeros_like(y).at[cam].add(d), axis_name)
+    y = y - _psum(_seg_cam(d, p, y.shape[0]), axis_name)
     # Scale-edge cross blocks (pose-pose coupling; replicated, no psum).
     y = y.at[se_i].add(jnp.einsum("ekl,el->ek", H_ij, x[se_j]))
     y = y.at[se_j].add(jnp.einsum("elk,el->ek", H_ij, x[se_i]))
@@ -338,16 +388,13 @@ def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axi
     Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)  # (P,3)
     Jp_vg = jnp.einsum("oik,ok->oi", Jp, Vg[p.pnt])  # (O,2)
     Wvg = jnp.einsum("oik,oi,o->ok", Jc, Jp_vg, w)  # (O,6)
-    b = -(g_c - _psum(jnp.zeros_like(g_c).at[p.cam].add(Wvg), axis_name))
+    b = -(g_c - _psum(_seg_cam(Wvg, p, g_c.shape[0]), axis_name))
     b = _mask_cam(b, p.cam_fixed)
 
     U_inv = _inv6(U_d)
 
     def matvec(x):
-        return _schur_matvec(
-            x, U_d, V_inv, Jc, Jp, w, p.cam, p.pnt, p.cam_fixed,
-            p.se_i, p.se_j, H_ij, axis_name
-        )
+        return _schur_matvec(x, U_d, V_inv, Jc, Jp, w, p, H_ij, axis_name)
 
     def precond(x):
         return _mask_cam(jnp.einsum("kij,kj->ki", U_inv, x), p.cam_fixed)
@@ -356,7 +403,7 @@ def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axi
     # Back-substitute landmarks: delta_p = -V^{-1} (g_p + W^T delta_c).
     Jc_dc = jnp.einsum("oik,ok->oi", Jc, delta_c[p.cam])  # (O,2)
     Wt_dc = jnp.einsum("oik,oi,o->ok", Jp, Jc_dc, w)  # (O,3)
-    rhs = g_p + _psum(jnp.zeros_like(g_p).at[p.pnt].add(Wt_dc), axis_name)
+    rhs = g_p + _psum(_seg_pnt(Wt_dc, p, g_p.shape[0]), axis_name)
     delta_p = -jnp.einsum("pij,pj->pi", V_inv, rhs)
     return delta_c, delta_p
 

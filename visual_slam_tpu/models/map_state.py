@@ -223,6 +223,13 @@ class SlamMap:
             self.kf_valid[se_i] & self.kf_valid[se_j]
         ).astype(np.float32) * scale_edge_weight
         se_meas = self.kf_scale_meas[1:K].astype(np.float32)
+        valid_obs = w > 0
+        cam_obs, cam_ok, pt_obs, pt_ok = ba_mod.build_ell_tables(
+            self.obs_cam, self.obs_pt, valid_obs,
+            K, self.config.max_points,
+            max_per_cam=self.config.track_capacity * 2,
+            max_per_pnt=64,
+        )
         return ba_mod.make_problem(
             R=jnp.asarray(self.kf_R),
             t=jnp.asarray(self.kf_t),
@@ -237,6 +244,10 @@ class SlamMap:
             se_j=jnp.asarray(se_j),
             se_meas=jnp.asarray(se_meas),
             se_w=jnp.asarray(se_w),
+            cam_obs=jnp.asarray(cam_obs),
+            cam_obs_ok=jnp.asarray(cam_ok),
+            pt_obs=jnp.asarray(pt_obs),
+            pt_obs_ok=jnp.asarray(pt_ok),
         )
 
     def update_from_ba(self, p: ba_mod.BAProblem) -> None:

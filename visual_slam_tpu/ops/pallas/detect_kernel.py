@@ -20,9 +20,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift(x, dy, dx):
-    """Shift with zero padding (static offsets)."""
+    """Shift with zero padding (static offsets).
+
+    Per-axis rolls, skipping zero shifts: Mosaic lowers roll to
+    concatenated slices and rejects the zero-size slice a 0-shift creates.
+    """
     H, W = x.shape
-    x = jnp.roll(x, (dy, dx), axis=(0, 1))
+    if dy:
+        x = jnp.roll(x, dy, axis=0)
+    if dx:
+        x = jnp.roll(x, dx, axis=1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok = jnp.ones((H, W), jnp.bool_)
@@ -76,9 +83,12 @@ def _detect_kernel(img_ref, out_ref, *, nms_radius: int, border: int):
 
 
 def _shift_inf(x, dy, dx):
-    """Shift with -inf padding (for max-pooling)."""
+    """Shift with -inf padding (for max-pooling). Per-axis rolls; see _shift."""
     H, W = x.shape
-    x = jnp.roll(x, (dy, dx), axis=(0, 1))
+    if dy:
+        x = jnp.roll(x, dy, axis=0)
+    if dx:
+        x = jnp.roll(x, dx, axis=1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok = jnp.ones((H, W), jnp.bool_)
