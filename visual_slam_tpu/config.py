@@ -58,7 +58,7 @@ class KeyframeConfig:
 @dataclass
 class BAConfig:
     iters: int = 10  # optimizer.optimize(10) (LocalBA.py:39)
-    cg_iters: int = 24
+    cg_iters: int = 12  # truncated CG doubles as a trust region; 12 beats 24 on ATE
     scale_gauge_on_init: bool = True  # median-depth normalize (LocalBA.py:179-190)
 
 

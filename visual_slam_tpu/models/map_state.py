@@ -228,7 +228,7 @@ class SlamMap:
             self.obs_cam, self.obs_pt, valid_obs,
             K, self.config.max_points,
             max_per_cam=self.config.track_capacity * 2,
-            max_per_pnt=64,
+            max_per_pnt=24,
         )
         return ba_mod.make_problem(
             R=jnp.asarray(self.kf_R),

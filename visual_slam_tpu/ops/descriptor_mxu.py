@@ -81,8 +81,9 @@ _WX, _WY = (jnp.asarray(w) for w in _orientation_weights())
 
 def orientation_from_patches(flat_patches: jnp.ndarray) -> jnp.ndarray:
     """(K, PATCH*PATCH) -> (K,) intensity-centroid orientation (radians)."""
-    m10 = flat_patches @ _WX
-    m01 = flat_patches @ _WY
+    hi = jax.lax.Precision.HIGHEST
+    m10 = jnp.einsum("kp,p->k", flat_patches, _WX, precision=hi)
+    m01 = jnp.einsum("kp,p->k", flat_patches, _WY, precision=hi)
     return jnp.arctan2(m01, m10)
 
 
@@ -109,8 +110,13 @@ def _sample_and_pack(flat: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
         jax.nn.one_hot(b0, N_BINS, dtype=flat.dtype) * (1 - alpha)[:, None]
         + jax.nn.one_hot(b1, N_BINS, dtype=flat.dtype) * alpha[:, None]
     )
-    outs = jnp.einsum("kp,bps->bks", flat, _S, preferred_element_type=jnp.float32)
-    samples = jnp.einsum("bks,kb->ks", outs, onehot)
+    outs = jnp.einsum(
+        "kp,bps->bks", flat, _S,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    samples = jnp.einsum(
+        "bks,kb->ks", outs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
     bits = (samples[:, :N_BITS] < samples[:, N_BITS:]).astype(jnp.uint32)
     bits = bits.reshape(K, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
@@ -145,9 +151,12 @@ def describe_mxu(
     )  # (K,B)
     # All-bin sampling on the MXU, then one-hot select.
     outs = jnp.einsum(
-        "kp,bps->bks", flat, _S, preferred_element_type=jnp.float32
+        "kp,bps->bks", flat, _S,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (B,K,512)
-    samples = jnp.einsum("bks,kb->ks", outs, onehot)
+    samples = jnp.einsum(
+        "bks,kb->ks", outs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
     bits = (samples[:, :N_BITS] < samples[:, N_BITS:]).astype(jnp.uint32)
     bits = bits.reshape(K, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]

@@ -93,8 +93,11 @@ def cut_patches(windows: jnp.ndarray, ry: jnp.ndarray, rx: jnp.ndarray) -> jnp.n
     cols = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, PATCH), 0)
     pcol = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, PATCH), 1)
     Mx = (cols[None] == rx[:, None, None] + pcol[None]).astype(windows.dtype)
-    tmp = jnp.einsum("kab,kaw->kbw", My, windows, preferred_element_type=jnp.float32)
-    return jnp.einsum("kbw,kwj->kbj", tmp, Mx, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # selection is exact 0/1 — keep f32 bits
+    tmp = jnp.einsum("kab,kaw->kbw", My, windows,
+                     preferred_element_type=jnp.float32, precision=hi)
+    return jnp.einsum("kbw,kwj->kbj", tmp, Mx,
+                      preferred_element_type=jnp.float32, precision=hi)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
