@@ -43,7 +43,7 @@ def _extract_stage1(img: jnp.ndarray, max_features: int):
 
 @jax.jit
 def _to_gray_jit(img: jnp.ndarray) -> jnp.ndarray:
-    return to_gray(img) if img.ndim == 3 else img
+    return to_gray(img)
 
 
 @partial(jax.jit, static_argnames=("max_features", "quality_level", "border"))
@@ -127,10 +127,12 @@ def extract_rgb(rgb_u8: jnp.ndarray, max_features: int = 1024) -> Features:
 
 
 def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
-    """(H,W,3) uint8/float RGB -> (H,W) float32 grayscale in [0,1]."""
+    """(H,W,3) RGB or (H,W) gray, uint8/float -> (H,W) float32 in [0,1]."""
     img = rgb.astype(jnp.float32)
     if rgb.dtype == jnp.uint8:
         img = img / 255.0
+    if rgb.ndim == 2:
+        return img
     return (
         0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     )

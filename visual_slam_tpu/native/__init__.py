@@ -51,6 +51,8 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    lib.dl_get_gray.restype = ctypes.c_int
+    lib.dl_get_gray.argtypes = list(lib.dl_get.argtypes)
     lib.dl_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -108,6 +110,22 @@ class AsyncFrameLoader:
             raise IOError(f"native decode failed for frame {idx}")
         depth = depth_raw.astype(np.float32) / 5000.0 if self._has_depth else None
         return rgb, depth
+
+    def get_gray(self, idx: int):
+        """Returns (gray uint8 (H,W), depth float32 metres (H,W) or None) —
+        grayscale conversion happens in native code (1/3 the H2D bytes)."""
+        gray = np.empty((self.height, self.width), np.uint8)
+        depth_raw = np.empty((self.height, self.width), np.uint16)
+        rc = self._lib.dl_get_gray(
+            self._handle,
+            idx,
+            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            depth_raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        )
+        if rc != 0:
+            raise IOError(f"native decode failed for frame {idx}")
+        depth = depth_raw.astype(np.float32) / 5000.0 if self._has_depth else None
+        return gray, depth
 
     def close(self):
         if self._handle:

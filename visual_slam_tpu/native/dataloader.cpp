@@ -175,6 +175,35 @@ int dl_get(void* handle, int idx, uint8_t* rgb_out, uint16_t* depth_out) {
   return 0;
 }
 
+// As dl_get but converts RGB to 8-bit grayscale in native code: the
+// device-transfer then moves 1/3 of the bytes (the tunnel H2D is the
+// per-frame bottleneck at ~15-250 MB/s).
+int dl_get_gray(void* handle, int idx, uint8_t* gray_out, uint16_t* depth_out) {
+  auto* L = static_cast<Loader*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    if (size_t(idx) >= L->consumer_pos) L->consumer_pos = idx;
+  }
+  L->cv_work.notify_all();
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_ready.wait(lk, [&] { return L->frames[idx].ready; });
+  Frame& f = L->frames[idx];
+  if (f.failed) return -1;
+  const size_t n = f.rgb.size() / 3;
+  const uint8_t* p = f.rgb.data();
+  for (size_t i = 0; i < n; ++i) {
+    gray_out[i] = uint8_t((299u * p[3 * i] + 587u * p[3 * i + 1] +
+                           114u * p[3 * i + 2]) / 1000u);
+  }
+  if (depth_out && !f.depth.empty())
+    std::memcpy(depth_out, f.depth.data(), f.depth.size() * 2);
+  f.rgb.clear();
+  f.rgb.shrink_to_fit();
+  f.depth.clear();
+  f.depth.shrink_to_fit();
+  return 0;
+}
+
 void dl_close(void* handle) {
   auto* L = static_cast<Loader*>(handle);
   L->stop.store(true);

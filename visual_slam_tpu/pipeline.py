@@ -610,8 +610,8 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
     need_kf = max(64, 2 ** int(np.ceil(np.log2(max(n_frames // 8, 1)))))
     if cfg.map.max_keyframes < need_kf:
         cfg.map.max_keyframes = need_kf
-        cfg.map.max_points = max(cfg.map.max_points, need_kf * 256)
-        cfg.map.max_observations = max(cfg.map.max_observations, need_kf * 1024)
+        cfg.map.max_points = max(cfg.map.max_points, need_kf * 128)
+        cfg.map.max_observations = max(cfg.map.max_observations, need_kf * 512)
     return cfg
 
 
