@@ -67,7 +67,9 @@ def _se3_residual(g: PoseGraph, R, t):
 
 def _scale_residual(g: PoseGraph, R, t):
     _, t_rel = _rel(R, t, g.s_i, g.s_j)
-    return jnp.linalg.norm(t_rel, axis=-1) - g.s_meas  # (S,)
+    # Epsilon-safe norm: padded/identity edges sit at t_rel == 0, where the
+    # norm's derivative is NaN under jacfwd even at weight 0.
+    return jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12) - g.s_meas  # (S,)
 
 
 def _total_residuals(g: PoseGraph, delta):

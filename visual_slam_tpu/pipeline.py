@@ -592,6 +592,33 @@ class Slam:
                 fr.t_cw = self.map.kf_t[kf_id].copy()
                 break
 
+    def optimize_pose_graph(self, n_iters: int = 15) -> None:
+        """Final keyframe pose-graph optimization with scale edges
+        (config #4 scale-drift correction; ≙ the EdgeSE3/EdgeSBAScale chain
+        the reference builds in LocalBA.py:97-131). Updates keyframe poses
+        and rewrites the trajectory entries of keyframe frames."""
+        from .models import pose_graph
+
+        g = pose_graph.from_keyframe_chain(
+            jnp.asarray(self.map.kf_R),
+            jnp.asarray(self.map.kf_t),
+            jnp.asarray(self.map.kf_valid),
+            scale_meas=jnp.asarray(self.map.kf_scale_meas[1:]),
+        )
+        R, t, cost = pose_graph.optimize(g, n_iters=n_iters)
+        self.map.kf_R = np.array(R)
+        self.map.kf_t = np.array(t)
+        kf_by_frame = {
+            int(f): k
+            for k, f in enumerate(self.map.kf_frame_idx)
+            if self.map.kf_valid[k]
+        }
+        for fr in self.trajectory:
+            k = kf_by_frame.get(fr.frame_idx)
+            if k is not None:
+                fr.R_cw = self.map.kf_R[k].copy()
+                fr.t_cw = self.map.kf_t[k].copy()
+
     # ------------------------------------------------------------------ eval
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
@@ -643,6 +670,12 @@ def main():
     ap.add_argument("--features", type=int, default=1024)
     ap.add_argument("--platform", default=None, help="cpu to force CPU")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--rgbd", action="store_true", help="metric RGB-D mode")
+    ap.add_argument("--pose-graph", action="store_true", help="final pose-graph refinement")
+    ap.add_argument("--export-traj", default=None, help="PNG trajectory plot path")
+    ap.add_argument("--export-ply", default=None, help="PLY map export path")
+    ap.add_argument("--export-g2o", default=None, help="g2o graph export path")
+    ap.add_argument("--checkpoint", default=None, help="npz map checkpoint path")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -650,10 +683,13 @@ def main():
     from .utils import evaluate
 
     ds = ICLNUIMDataset(args.data)
-    cfg = SlamConfig()
+    cfg = size_config_for(args.frames)
     cfg.frontend.max_features = args.features
+    cfg.use_depth = args.rgbd
     t0 = time.time()
     slam = run_sequence(ds, cfg, args.start, args.start + args.frames, verbose=args.verbose)
+    if args.pose_graph and slam.initialized:
+        slam.optimize_pose_graph()
     dt = time.time() - t0
     idxs, est = slam.positions()
     out = {
@@ -666,8 +702,36 @@ def main():
     gt = ds.ground_truth()
     if gt is not None:
         gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
-        rmse, _ = evaluate.ate_rmse(est, gt_pos, align_scale=True)
+        rmse, _ = evaluate.ate_rmse(est, gt_pos, align_scale=not args.rgbd)
         out["ate_rmse_m"] = rmse
+    if args.export_traj:
+        from .utils import viz
+
+        gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3] if gt is not None else None
+        viz.plot_trajectory(est, gt_pos, args.export_traj)
+        out["trajectory_png"] = args.export_traj
+    if args.export_ply:
+        from .utils import viz
+
+        viz.save_ply(args.export_ply, slam.map.pt_xyz, valid=slam.map.pt_valid)
+        out["map_ply"] = args.export_ply
+    if args.export_g2o:
+        from .utils import g2o_io
+
+        g2o_io.save_pose_graph(
+            args.export_g2o,
+            slam.map.kf_R,
+            slam.map.kf_t,
+            slam.map.kf_valid,
+            points=slam.map.pt_xyz,
+            point_valid=slam.map.pt_valid,
+        )
+        out["g2o"] = args.export_g2o
+    if args.checkpoint:
+        from .utils import checkpoint as ckpt
+
+        ckpt.save_map(args.checkpoint, slam.map, est)
+        out["checkpoint"] = args.checkpoint
     print(json.dumps(out))
 
 
