@@ -57,23 +57,29 @@ def _topk_select(peaks: jnp.ndarray, max_features: int, quality_level: float = 0
     return uv, top, valid
 
 
-def extract_pallas(img: jnp.ndarray, max_features: int = 1024) -> Features:
-    """Deterministic-performance front-end: every heavy stage is a Pallas
-    kernel or an MXU matmul; the only XLA ops are elementwise gray
-    conversion, top-k selection, and small einsums. This is the production
-    TPU path (see ops.descriptor_mxu for the rationale — XLA's conv/gather
-    lowerings compile nondeterministically on this backend).
-    """
+@partial(jax.jit, static_argnames=("max_features", "interpret"))
+def _extract_pallas_fused(img: jnp.ndarray, max_features: int, interpret: bool) -> Features:
+    """Whole front-end as ONE jit. Safe to fuse because the heavy stages are
+    Pallas custom calls (opaque to XLA's fuser) and the XLA glue is only
+    elementwise gray conversion, top_k, and matmul einsums — none of the
+    conv/gather ops whose fusions misbehave on this backend. One dispatch
+    per frame instead of five (each dispatch+sync round trip through the
+    TPU tunnel costs milliseconds)."""
     from ..ops import descriptor_mxu
     from ..ops.pallas import detect_kernel, patch_kernel
 
-    interp = jax.default_backend() != "tpu"
-    gray = _to_gray_jit(jnp.asarray(img))
-    peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(gray, interpret=interp)
+    gray = to_gray(img)
+    peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(gray, interpret=interpret)
     uv, score, valid = _topk_select(peaks, max_features)
-    windows, ry, rx = patch_kernel.extract_windows(blurred, uv, interpret=interp)
+    windows, ry, rx = patch_kernel.extract_windows(blurred, uv, interpret=interpret)
     desc, theta = descriptor_mxu.describe_from_windows(windows, ry, rx)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
+
+
+def extract_pallas(img: jnp.ndarray, max_features: int = 1024) -> Features:
+    """Deterministic-performance front-end (see _extract_pallas_fused)."""
+    interp = jax.default_backend() != "tpu"
+    return _extract_pallas_fused(jnp.asarray(img), max_features, interp)
 
 
 # Front-end backend: "pallas" = fully deterministic-performance path

@@ -80,7 +80,10 @@ def _track_step(
         threshold_px=threshold_px,
         refine_iters=refine_iters,
     )
-    return R, t, inliers, idx2, n_in
+    # Pack the scalars/pose the host needs every frame into ONE small array:
+    # each separate device->host fetch is a full tunnel round trip.
+    packed = jnp.concatenate([R.reshape(9), t, n_in[None].astype(R.dtype)])
+    return packed, inliers, idx2
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection"))
@@ -357,7 +360,7 @@ class Slam:
         snap = self._snapshot
         tm = self.timers.time("track")
         tm.__enter__()
-        R, t, inliers, idx2, n_in = _track_step(
+        packed, inliers, idx2 = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
@@ -374,7 +377,10 @@ class Slam:
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
         )
-        n_tracked = int(n_in)
+        packed_np = np.asarray(packed)
+        R = packed_np[:9].reshape(3, 3)
+        t = packed_np[9:12]
+        n_tracked = int(packed_np[12])
         tm.__exit__(None, None, None)
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
@@ -390,7 +396,7 @@ class Slam:
                 self.stats["relocalizations"] = self.stats.get("relocalizations", 0) + 1
                 self._prev_R, self._prev_t = R_np, t_np
         else:
-            R_np, t_np = np.asarray(R), np.asarray(t)
+            R_np, t_np = R.copy(), t.copy()
             self._prev_R, self._prev_t = R_np, t_np
         self._frames_since_kf += 1
         n_local = int(np.asarray(snap["valid"]).sum())
@@ -416,7 +422,7 @@ class Slam:
         """
         cfg = self.cfg
         snap = self.map.global_snapshot()
-        R, t, inliers, idx2, n_in = _track_step(
+        packed, inliers, idx2 = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
@@ -433,12 +439,13 @@ class Slam:
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
         )
-        n = int(n_in)
+        packed_np = np.asarray(packed)
+        n = int(packed_np[12])
         ok = n >= cfg.tracking.min_tracked_points
         # The returned inliers/idx2 index the *global* snapshot, which is not
         # the tracking snapshot; a relocalized frame is never a keyframe in
         # the same step, so the caller only uses the pose and count.
-        return ok, np.asarray(R), np.asarray(t), inliers, idx2, n
+        return ok, packed_np[:9].reshape(3, 3), packed_np[9:12], inliers, idx2, n
 
     # --------------------------------------------------------------- keyframe
 
