@@ -143,7 +143,10 @@ def _init_step(
     ang_sorted = jnp.sort(jnp.where(cheir, ang, jnp.inf))
     n_good = jnp.maximum(jnp.sum(cheir), 1)
     parallax_med = ang_sorted[(n_good - 1) // 2]
-    return n_matches, idx2, R, t, X1, cheir, frac, parallax_med
+    scalars = jnp.stack(
+        [n_matches.astype(jnp.float32), frac.astype(jnp.float32), parallax_med]
+    )
+    return scalars, idx2, R, t, X1, cheir
 
 
 @jax.jit
@@ -243,8 +246,10 @@ class Slam:
         """Process one frame: grayscale float32 (H,W) in [0,1], or RGB uint8
         (H,W,3) — the latter is converted on-device (cheaper transfer)."""
         with self.timers.time("extract"):
+            # No block here: the single packed fetch in _track synchronizes
+            # the frame; every extra device round trip costs ~25 ms on this
+            # backend's tunnel.
             feats = frontend.extract(jnp.asarray(gray), self.cfg.frontend.max_features)
-            jax.block_until_ready(feats.desc)
         if not self.initialized:
             with self.timers.time("initialize"):
                 self._try_initialize(frame_idx, feats, depth)
@@ -265,7 +270,7 @@ class Slam:
             )
             return
         f0, f1 = self._init_feats, feats
-        n_matches_dev, idx2, R, t, X1, cheir, frac, parallax = _init_step(
+        scalars, idx2, R, t, X1, cheir = _init_step(
             f0.desc,
             f0.uv,
             f0.valid,
@@ -281,12 +286,13 @@ class Slam:
             n_hyps=cfg.twoview.ransac_hypotheses,
             model_selection=cfg.twoview.use_model_selection,
         )
-        n_matches = int(n_matches_dev)
+        scalars_np = np.asarray(scalars)  # ONE fetch for all three gates
+        n_matches = int(scalars_np[0])
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
             return
-        if float(frac) < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
+        if scalars_np[1] < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
             return
-        if float(parallax) < cfg.twoview.min_init_parallax_deg:
+        if scalars_np[2] < cfg.twoview.min_init_parallax_deg:
             return
         uv1 = f0.uv
         uv2 = f1.uv[idx2]
