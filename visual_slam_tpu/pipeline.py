@@ -193,6 +193,22 @@ def _mine_step(
     return idx2, keep, X
 
 
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+def _ba_step(prob, n_iters: int, cg_iters: int):
+    """optimize + diagnostics in ONE computation: returns (optimized problem,
+    diag [cost_before, cost_after, blown_fraction], bad-observation mask)."""
+    cost_before = ba_mod._cost(prob)
+    out, cost_after = ba_mod.optimize(prob, n_iters=n_iters, cg_iters=cg_iters)
+    r, _, _, _ = ba_mod._residuals_and_jacobians(out)
+    err = jnp.sqrt(jnp.sum(r * r, -1))
+    w = out.w
+    bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (w > 0)
+    n_obs = jnp.maximum(jnp.sum(w), 1.0)
+    blown = jnp.sum(bad.astype(w.dtype) * w) / n_obs
+    diag = jnp.stack([cost_before, cost_after, blown])
+    return out, diag, bad
+
+
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
     """Backproject pixels through a metric depth map (camera frame).
 
@@ -383,6 +399,10 @@ class Slam:
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
         )
+        try:
+            packed.copy_to_host_async()  # overlap the ~24 ms fetch latency
+        except AttributeError:
+            pass
         packed_np = np.asarray(packed)
         R = packed_np[:9].reshape(3, 3)
         t = packed_np[9:12]
