@@ -249,6 +249,7 @@ class Slam:
         self._prev_R = None
         self._prev_t = None
         self._frames_since_kf = 0
+        self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
 
@@ -379,6 +380,7 @@ class Slam:
 
     def _track(self, frame_idx, feats, depth):
         cfg = self.cfg
+        self._apply_pending_ba()
         snap = self._snapshot
         tm = self.timers.time("track")
         tm.__enter__()
@@ -477,6 +479,7 @@ class Slam:
 
     def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None):
         cfg = self.cfg
+        self._apply_pending_ba(force=True)
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
         self.stats["keyframes"] += 1
         snap = self._snapshot
@@ -500,9 +503,10 @@ class Slam:
             self._mine_depth_points(kf_id, feats, mapped, depth)
         else:
             self._mine_new_points(kf_id, feats, mapped)
-        # Full bundle adjustment over the map (≙ main.py:322-323).
-        self._run_full_ba(scale_gauge=False)
+        # Full bundle adjustment over the map (≙ main.py:322-323),
+        # dispatched async; applied after a couple of tracked frames.
         self._finish_keyframe(kf_id, feats, mapped, frame_idx)
+        self._dispatch_ba(kf_id, scale_gauge=False)
 
     def _mine_new_points(self, kf_id, feats, mapped_cur):
         """Triangulate unmapped matches between the previous and new keyframe."""
@@ -559,25 +563,39 @@ class Slam:
         self.map.add_observations(kf_id, pt_ids, uv[sel])
         mapped_cur[sel] = True
 
-    def _run_full_ba(self, scale_gauge: bool):
+    def _dispatch_ba(self, kf_id: int, scale_gauge: bool) -> None:
+        """Dispatch the full BA without waiting (async local mapping).
+
+        Synchronously waiting on this backend costs ~230 ms of completion-
+        poll latency for a ~1 ms solve, while a fetch issued once the work
+        has quietly finished costs ~25 ms — so the result is applied a
+        couple of frames later (_apply_pending_ba). Tracking continues
+        against the pre-BA snapshot, which matches the reference's frozen
+        local-map-copy semantics (deepcopy at main.py:154,333)."""
         cfg = self.cfg
         with self.timers.time("bundle_adjust"):
             prob = self.map.to_ba_problem(self.cfg.intrinsics)
-            cost_before = float(ba_mod._cost(prob))
-            prob, cost = ba_mod.optimize(
+            out, diag, bad = _ba_step(
                 prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
             )
-            cost_after = float(cost)
+        self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0)
+
+    def _apply_pending_ba(self, force: bool = False) -> None:
+        if self._pending_ba is None:
+            return
+        out, diag, bad, kf_id, scale_gauge, age = self._pending_ba
+        if not force and age < 2:  # let the solve finish in the background
+            self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1)
+            return
+        self._pending_ba = None
+        with self.timers.time("bundle_adjust"):
+            diag_np = np.asarray(diag)
+        cost_before, cost_after, blown = (float(v) for v in diag_np)
         # Failure detection (SURVEY.md §5 — the reference has none): reject a
         # BA result that diverged, went non-finite, or can no longer explain
         # a healthy fraction of its observations (a decreasing robust cost
         # can still mean the solution warped — Huber caps each bad residual's
         # contribution, so wholesale outlier-ification looks "cheap").
-        r_chk, _, _, _ = ba_mod._residuals_and_jacobians(prob)
-        err_chk = np.sqrt(np.sum(np.asarray(r_chk) ** 2, -1))
-        w_chk = np.asarray(prob.w)
-        n_obs = max(float(w_chk.sum()), 1.0)
-        blown = float(((err_chk > 3.0 * ba_mod.HUBER_DELTA) * w_chk).sum() / n_obs)
         if (
             not np.isfinite(cost_after)
             or (np.isfinite(cost_before) and cost_after > 2.0 * cost_before)
@@ -585,6 +603,7 @@ class Slam:
         ):
             self.stats["ba_rejected"] = self.stats.get("ba_rejected", 0) + 1
             return
+        prob = out
         gauge_changed = False
         if scale_gauge:
             prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
@@ -593,16 +612,24 @@ class Slam:
         if gauge_changed:
             self.map.refresh_scale_meas()
         # Prune observations the optimized map cannot explain (reproj error
-        # beyond the Huber regime). The reference only downweights them
-        # (robust kernel); leaving them in the table lets a few bad
-        # associations steer later solves.
-        r, _, _, _ = ba_mod._residuals_and_jacobians(prob)
-        err = np.sqrt(np.sum(np.asarray(r) ** 2, -1))
-        bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (np.asarray(prob.w) > 0)
-        if bad.any():
-            self.map.obs_valid &= ~bad[: len(self.map.obs_valid)]
-            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + int(bad.sum())
+        # beyond the Huber regime; ≙ the role of g2o robust kernels, made
+        # permanent).
+        bad_np = np.asarray(bad)
+        if bad_np.any():
+            self.map.obs_valid &= ~bad_np[: len(self.map.obs_valid)]
+            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + int(bad_np.sum())
         self.stats["ba_runs"] += 1
+        # The optimized landmarks replace the tracking snapshot (pose
+        # continuity kept: the tracker's prev pose is not rewritten).
+        if self._last_kf_id is not None:
+            self._snapshot = self.map.local_snapshot(self._last_kf_id)
+
+    def _run_full_ba(self, scale_gauge: bool):
+        """Synchronous BA (init path): dispatch + immediate apply."""
+        self._dispatch_ba(
+            self._last_kf_id if self._last_kf_id is not None else 0, scale_gauge
+        )
+        self._apply_pending_ba(force=True)
 
     def ba_iters_per_s(self) -> float:
         """BA iterations/s (BASELINE.json report metric)."""
