@@ -14,7 +14,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import descriptor, detect
+from ..ops import descriptor, descriptor_mxu, detect
+from ..ops.pallas import detect_kernel, patch_kernel
 
 
 class Features(NamedTuple):
@@ -65,9 +66,6 @@ def _extract_pallas_fused(img: jnp.ndarray, max_features: int, interpret: bool) 
     conv/gather ops whose fusions misbehave on this backend. One dispatch
     per frame instead of five (each dispatch+sync round trip through the
     TPU tunnel costs milliseconds)."""
-    from ..ops import descriptor_mxu
-    from ..ops.pallas import detect_kernel, patch_kernel
-
     gray = to_gray(img)
     peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(gray, interpret=interpret)
     uv, score, valid = _topk_select(peaks, max_features)

@@ -61,7 +61,9 @@ def _build_sampling_matrices() -> np.ndarray:
     return S
 
 
-_S = jnp.asarray(_build_sampling_matrices(), dtype=jnp.float32)  # (B,1024,512)
+# NumPy constant on purpose: this module may be imported lazily inside a
+# jit trace, where jnp.asarray would produce (and leak) a tracer.
+_S = _build_sampling_matrices()  # (B,1024,512) float32
 
 
 def _orientation_weights():
@@ -76,7 +78,7 @@ def _orientation_weights():
     return (dx * circle).reshape(-1), (dy * circle).reshape(-1)
 
 
-_WX, _WY = (jnp.asarray(w) for w in _orientation_weights())
+_WX, _WY = _orientation_weights()  # NumPy constants (see _S note)
 
 
 def orientation_from_patches(flat_patches: jnp.ndarray) -> jnp.ndarray:
