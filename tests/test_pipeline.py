@@ -63,3 +63,37 @@ def test_slam_end_to_end_short():
     gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
     rmse, _ = ate_rmse(est, gt_pos, align_scale=True)
     assert rmse < 0.10, f"ATE RMSE {rmse:.3f} m too high"
+
+
+def test_relocalization_recovers_from_garbage_frames():
+    """Feed noise frames mid-sequence: tracking must fail, then relocalize
+    once real frames resume (capability the reference lacks, SURVEY.md §5)."""
+    import numpy as np
+
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.pipeline import Slam
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+
+    ds = ICLNUIMDataset(DATA)
+    cfg = SlamConfig()
+    cfg.use_depth = True  # immediate init
+    slam = Slam(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        slam.process(i, ds.gray(i), ds.depth(i))
+    # Garbage frames: pure noise — tracking must fail (no pose jumps).
+    for i in range(12, 16):
+        noise = rng.uniform(0, 1, (480, 640)).astype(np.float32)
+        slam.process(i, noise, None)
+    assert slam.stats.get("track_failures", 0) >= 3
+    # Pose must not have jumped during the blackout (constant-position
+    # fallback; the relocalizer ran each failure and correctly found nothing).
+    C = -slam.trajectory[-1].R_cw.T @ slam.trajectory[-1].t_cw
+    assert np.linalg.norm(C) < 1.0
+    # Real frames return: tracking recovers (directly, since the camera
+    # "didn't move" during the blackout — relocalization is the fallback for
+    # when it did).
+    for i in range(16, 24):
+        slam.process(i, ds.gray(i), ds.depth(i))
+    last = slam.trajectory[-1]
+    assert last.n_tracked >= 10
