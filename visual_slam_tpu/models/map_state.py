@@ -146,6 +146,7 @@ class SlamMap:
             uv=jnp.asarray(uv),
             pt_ids=jnp.asarray(pid),
             valid=jnp.asarray(valid),
+            n_valid=n,  # host-side count: reading it must not cost a fetch
         )
 
     def global_snapshot(self):
@@ -171,6 +172,7 @@ class SlamMap:
             uv=jnp.zeros((M, 2), jnp.float32),
             pt_ids=jnp.asarray(pid),
             valid=jnp.asarray(valid),
+            n_valid=n,
         )
 
     def refresh_scale_meas(self) -> None:

@@ -427,7 +427,7 @@ class Slam:
             R_np, t_np = R.copy(), t.copy()
             self._prev_R, self._prev_t = R_np, t_np
         self._frames_since_kf += 1
-        n_local = int(np.asarray(snap["valid"]).sum())
+        n_local = snap["n_valid"]  # host-cached (a device fetch costs ~24 ms)
         # Keyframe rule ≙ main.py:221.
         is_kf = (
             self._frames_since_kf > cfg.keyframe.max_interval
