@@ -61,13 +61,30 @@ def main():
 
     slam = Slam(SlamConfig())
     t0 = time.perf_counter()
-    # One-frame-ahead async H2D: device_put returns immediately, so the
-    # transfer of frame i+1 overlaps the compute of frame i.
+    # One-frame-ahead async H2D (device_put returns immediately) + software-
+    # pipelined tracking: frame i's ~25 ms fetch latency overlaps frame
+    # i+1's dispatched device work.
+    from visual_slam_tpu.models import frontend as _fe
+
     dev = jax.device_put(frames[0])
+    pending = None
     for i in range(N_FRAMES):
         nxt = jax.device_put(frames[i + 1]) if i + 1 < N_FRAMES else None
-        slam.process(i, dev)
+        feats = _fe.extract(dev, slam.cfg.frontend.max_features)
+        if not slam.initialized:
+            if pending is not None:
+                slam._consume_track(pending)
+                pending = None
+            slam._try_initialize(i, feats, None)
+        else:
+            slam._apply_pending_ba()
+            h = slam._dispatch_track(i, feats, None)
+            if pending is not None:
+                slam._consume_track(pending)
+            pending = h
         dev = nxt
+    if pending is not None:
+        slam._consume_track(pending)
     dt = time.perf_counter() - t0
     fps = N_FRAMES / dt
 

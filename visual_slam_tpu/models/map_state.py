@@ -229,9 +229,9 @@ class SlamMap:
         cam_obs, cam_ok, pt_obs, pt_ok = ba_mod.build_ell_tables(
             self.obs_cam, self.obs_pt, valid_obs,
             K, self.config.max_points,
-            # Real per-keyframe observation counts stay in the low hundreds
-            # (tracked inliers + mined points); 1024 is a checked bound.
-            max_per_cam=1024,
+            # Hard bound: tracked inliers (<= track_capacity) + mined
+            # points (<= max_features slots) per keyframe.
+            max_per_cam=self.config.track_capacity + 1024,
             max_per_pnt=24,
         )
         return ba_mod.make_problem(

@@ -249,6 +249,7 @@ class Slam:
         self._prev_R = None
         self._prev_t = None
         self._frames_since_kf = 0
+        self._snap_epoch = 0  # bumped when keyframe insertion remaps the snapshot
         self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
@@ -379,11 +380,19 @@ class Slam:
     # ------------------------------------------------------------------ track
 
     def _track(self, frame_idx, feats, depth):
-        cfg = self.cfg
         self._apply_pending_ba()
+        with self.timers.time("track"):
+            h = self._dispatch_track(frame_idx, feats, depth)
+            self._consume_track(h)
+
+    def _dispatch_track(self, frame_idx, feats, depth):
+        """Dispatch one tracking step without fetching (pipelining support).
+
+        Returns a handle binding the frame to the snapshot its match indices
+        refer to (the snapshot may be swapped by a keyframe before the
+        handle is consumed)."""
+        cfg = self.cfg
         snap = self._snapshot
-        tm = self.timers.time("track")
-        tm.__enter__()
         packed, inliers, idx2 = _track_step(
             feats.desc,
             feats.uv,
@@ -405,11 +414,27 @@ class Slam:
             packed.copy_to_host_async()  # overlap the ~24 ms fetch latency
         except AttributeError:
             pass
-        packed_np = np.asarray(packed)
+        return dict(
+            frame_idx=frame_idx,
+            feats=feats,
+            depth=depth,
+            snap=snap,
+            snap_epoch=self._snap_epoch,
+            packed=packed,
+            inliers=inliers,
+            idx2=idx2,
+        )
+
+    def _consume_track(self, h):
+        """Fetch a dispatched tracking step and run the host-side frame logic
+        (pose bookkeeping, keyframe rule, keyframe insertion)."""
+        cfg = self.cfg
+        frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
+        snap, inliers, idx2 = h["snap"], h["inliers"], h["idx2"]
+        packed_np = np.asarray(h["packed"])
         R = packed_np[:9].reshape(3, 3)
         t = packed_np[9:12]
         n_tracked = int(packed_np[12])
-        tm.__exit__(None, None, None)
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
             # Tracking failure (the reference has no recovery, SURVEY.md §5).
@@ -437,8 +462,15 @@ class Slam:
         # A relocalized frame's match indices refer to the global snapshot,
         # not the tracking snapshot — never promote it in the same step.
         is_kf = is_kf and not relocalized
+        # Pipelined consume: a frame dispatched against a snapshot that a
+        # newer keyframe has since replaced must not insert a keyframe — its
+        # match indices describe the superseded landmark set (stale inserts
+        # cascade into keyframes-every-frame and duplicate observations).
+        is_kf = is_kf and h.get("snap_epoch", self._snap_epoch) == self._snap_epoch
         if is_kf:
-            self._insert_keyframe(frame_idx, feats, R_np, t_np, inliers, idx2, depth)
+            self._insert_keyframe(
+                frame_idx, feats, R_np, t_np, inliers, idx2, depth, snap=snap
+            )
         self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
 
     def _relocalize(self, feats):
@@ -477,9 +509,11 @@ class Slam:
 
     # --------------------------------------------------------------- keyframe
 
-    def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None):
+    def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None, snap=None):
         cfg = self.cfg
         self._apply_pending_ba(force=True)
+        if snap is None:
+            snap = self._snapshot
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
         self.stats["keyframes"] += 1
         snap = self._snapshot
@@ -640,6 +674,7 @@ class Slam:
         self._last_kf_id = kf_id
         self._last_kf_feats = feats
         self._last_kf_mapped = mapped
+        self._snap_epoch += 1
         self._snapshot = self.map.local_snapshot(kf_id)
         self._prev_R = self.map.kf_R[kf_id].copy()
         self._prev_t = self.map.kf_t[kf_id].copy()
@@ -702,13 +737,46 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
     return cfg
 
 
-def run_sequence(dataset, config: SlamConfig | None = None, start=0, stop=None, verbose=False):
+def run_sequence(
+    dataset,
+    config: SlamConfig | None = None,
+    start=0,
+    stop=None,
+    verbose=False,
+    pipelined: bool = False,
+):
     """Run SLAM over a dataset; returns the Slam object. When no config is
-    given, map capacities are sized to the frame range."""
+    given, map capacities are sized to the frame range.
+
+    pipelined=True overlaps each frame's device work with the previous
+    frame's host-side consume (the tracking fetch costs ~25 ms of tunnel
+    latency on this environment): frame i is dispatched with a one-frame-
+    stale pose guess, and its keyframe logic runs one frame late. Keyframe
+    snapshot consistency is kept by binding each in-flight frame to the
+    snapshot its match indices refer to.
+    """
     if config is None:
         n = (stop if stop is not None else len(dataset)) - start
         config = size_config_for(n)
     slam = Slam(config)
+    if pipelined:
+        pending = None
+        for i, gray, depth in dataset.frames(start, stop):
+            feats = frontend.extract(jnp.asarray(gray), config.frontend.max_features)
+            if not slam.initialized:
+                if pending is not None:
+                    slam._consume_track(pending)
+                    pending = None
+                slam._try_initialize(i, feats, depth)
+            else:
+                slam._apply_pending_ba()
+                h = slam._dispatch_track(i, feats, depth)
+                if pending is not None:
+                    slam._consume_track(pending)
+                pending = h
+        if pending is not None:
+            slam._consume_track(pending)
+        return slam
     for i, gray, depth in dataset.frames(start, stop):
         slam.process(i, gray, depth)
         if verbose and i % 25 == 0:
