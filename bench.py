@@ -70,7 +70,9 @@ def main():
     pending = None
     for i in range(N_FRAMES):
         nxt = jax.device_put(frames[i + 1]) if i + 1 < N_FRAMES else None
-        feats = _fe.extract(dev, slam.cfg.frontend.max_features)
+        feats = _fe.extract(dev, slam.cfg.frontend.max_features,
+                            slam.cfg.frontend.quality_level,
+                            slam.cfg.frontend.nms_radius)
         if not slam.initialized:
             if pending is not None:
                 slam._consume_track(pending)

@@ -31,12 +31,16 @@ class Features(NamedTuple):
     valid: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_features",))
-def _extract_stage1(img: jnp.ndarray, max_features: int):
+@partial(jax.jit, static_argnames=("max_features", "quality_level", "nms_radius"))
+def _extract_stage1(img: jnp.ndarray, max_features: int,
+                    quality_level: float = 0.01, nms_radius: int = 3):
     """Detection + blur + orientation (conv/top-k work only)."""
     if img.ndim == 3:
         img = to_gray(img)
-    uv, score, valid = detect.detect_corners(img, max_corners=max_features)
+    uv, score, valid = detect.detect_corners(
+        img, max_corners=max_features, quality_level=quality_level,
+        nms_radius=nms_radius,
+    )
     blurred = detect.gaussian_blur(img, sigma=2.0, radius=4)
     theta = detect.orientation(img, uv)
     return uv, score, valid, blurred, theta
@@ -58,8 +62,14 @@ def _topk_select(peaks: jnp.ndarray, max_features: int, quality_level: float = 0
     return uv, top, valid
 
 
-@partial(jax.jit, static_argnames=("max_features", "interpret"))
-def _extract_pallas_fused(img: jnp.ndarray, max_features: int, interpret: bool) -> Features:
+@partial(jax.jit, static_argnames=("max_features", "interpret", "quality_level", "nms_radius"))
+def _extract_pallas_fused(
+    img: jnp.ndarray,
+    max_features: int,
+    interpret: bool,
+    quality_level: float = 0.01,
+    nms_radius: int = 3,
+) -> Features:
     """Whole front-end as ONE jit. Safe to fuse because the heavy stages are
     Pallas custom calls (opaque to XLA's fuser) and the XLA glue is only
     elementwise gray conversion, top_k, and matmul einsums — none of the
@@ -67,17 +77,26 @@ def _extract_pallas_fused(img: jnp.ndarray, max_features: int, interpret: bool) 
     per frame instead of five (each dispatch+sync round trip through the
     TPU tunnel costs milliseconds)."""
     gray = to_gray(img)
-    peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(gray, interpret=interpret)
-    uv, score, valid = _topk_select(peaks, max_features)
+    peaks, blurred = detect_kernel.corner_peaks_and_blur_pallas(
+        gray, nms_radius=nms_radius, interpret=interpret
+    )
+    uv, score, valid = _topk_select(peaks, max_features, quality_level)
     windows, ry, rx = patch_kernel.extract_windows(blurred, uv, interpret=interpret)
     desc, theta = descriptor_mxu.describe_from_windows(windows, ry, rx)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 
-def extract_pallas(img: jnp.ndarray, max_features: int = 1024) -> Features:
+def extract_pallas(
+    img: jnp.ndarray,
+    max_features: int = 1024,
+    quality_level: float = 0.01,
+    nms_radius: int = 3,
+) -> Features:
     """Deterministic-performance front-end (see _extract_pallas_fused)."""
     interp = jax.default_backend() != "tpu"
-    return _extract_pallas_fused(jnp.asarray(img), max_features, interp)
+    return _extract_pallas_fused(
+        jnp.asarray(img), max_features, interp, quality_level, nms_radius
+    )
 
 
 # Front-end backend: "pallas" = fully deterministic-performance path
@@ -87,9 +106,15 @@ def extract_pallas(img: jnp.ndarray, max_features: int = 1024) -> Features:
 FRONTEND_BACKEND = "pallas"
 
 
-def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
+def extract(
+    img: jnp.ndarray,
+    max_features: int = 1024,
+    quality_level: float = 0.01,
+    nms_radius: int = 3,
+) -> Features:
     """Full front-end for one image: grayscale (H,W) float32 in [0,1] or
-    RGB (H,W,3) uint8 (converted on-device).
+    RGB (H,W,3) uint8 (converted on-device). quality_level/nms_radius
+    mirror goodFeaturesToTrack's qualityLevel/minDistance (frame.py:11).
 
     Multiple jit dispatches by design: whenever the descriptor sampler's
     index production fuses with its neighbors, the TPU backend's gather
@@ -97,8 +122,10 @@ def extract(img: jnp.ndarray, max_features: int = 1024) -> Features:
     across compiles); the dispatch overhead (~0.1 ms each) is noise.
     """
     if FRONTEND_BACKEND == "pallas":
-        return extract_pallas(img, max_features)
-    uv, score, valid, blurred, theta = _extract_stage1(img, max_features)
+        return extract_pallas(img, max_features, quality_level, nms_radius)
+    uv, score, valid, blurred, theta = _extract_stage1(
+        img, max_features, quality_level, nms_radius
+    )
     H, W = (img.shape[:2] if img.ndim == 3 else img.shape)
     idx, fx, fy = descriptor._sample_offsets_jit(uv, theta, W, H)
     desc = descriptor._gather_and_pack_jit(blurred, idx, fx, fy)

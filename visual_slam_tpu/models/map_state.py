@@ -226,13 +226,27 @@ class SlamMap:
         ).astype(np.float32) * scale_edge_weight
         se_meas = self.kf_scale_meas[1:K].astype(np.float32)
         valid_obs = w > 0
+        # Size the per-point ELL width from the actual observation counts
+        # (a long-lived landmark on a full sequence can exceed any fixed
+        # cap — formerly a RuntimeError mid-run). Bucket to powers of two
+        # above 24 so the jitted BA step recompiles at most a few times per
+        # run (each recompile on this backend's remote compile service costs
+        # seconds to minutes).
+        counts = np.bincount(self.obs_pt[valid_obs], minlength=1)
+        need = int(counts.max()) if counts.size else 1
+        q = 24
+        while q < need:
+            q *= 2
+        cam_counts = np.bincount(self.obs_cam[valid_obs], minlength=1)
+        cam_need = int(cam_counts.max()) if cam_counts.size else 1
+        qc = self.config.track_capacity + 1024
+        while qc < cam_need:
+            qc *= 2
         cam_obs, cam_ok, pt_obs, pt_ok = ba_mod.build_ell_tables(
             self.obs_cam, self.obs_pt, valid_obs,
             K, self.config.max_points,
-            # Hard bound: tracked inliers (<= track_capacity) + mined
-            # points (<= max_features slots) per keyframe.
-            max_per_cam=self.config.track_capacity + 1024,
-            max_per_pnt=24,
+            max_per_cam=qc,
+            max_per_pnt=q,
         )
         return ba_mod.make_problem(
             R=jnp.asarray(self.kf_R),

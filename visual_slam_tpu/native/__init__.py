@@ -22,10 +22,20 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # Build when the library is absent OR stale (older than any .cpp source):
+    # the binary is intentionally not version-controlled, so it is always a
+    # product of the checked-in sources on this machine.
+    src_dir = os.path.dirname(__file__)
+    srcs = [
+        os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".cpp")
+    ]
+    stale = not os.path.exists(_LIB_PATH) or any(
+        os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs
+    )
+    if stale:
         try:
             subprocess.run(
-                ["sh", os.path.join(os.path.dirname(__file__), "build.sh")],
+                ["sh", os.path.join(src_dir, "build.sh")],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -43,6 +53,8 @@ def _load():
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,  # expected height — decoded frames of any other size
+        ctypes.c_int,  # expected width    are reported as failures
     ]
     lib.dl_get.restype = ctypes.c_int
     lib.dl_get.argtypes = [
@@ -92,7 +104,9 @@ class AsyncFrameLoader:
             dep_arr = (ctypes.c_char_p * self.n)(*[p.encode() for p in depth_paths])
         else:
             dep_arr = (ctypes.c_char_p * self.n)(*([b""] * self.n))
-        self._handle = lib.dl_open(rgb_arr, dep_arr, self.n, n_threads, lookahead)
+        self._handle = lib.dl_open(
+            rgb_arr, dep_arr, self.n, n_threads, lookahead, height, width
+        )
         if not self._handle:
             raise RuntimeError("dl_open failed")
 

@@ -98,6 +98,7 @@ struct Loader {
   size_t next_to_schedule = 0;  // guarded by mu
   size_t consumer_pos = 0;      // guarded by mu
   size_t lookahead = 16;
+  int expected_h = 0, expected_w = 0;  // 0 = accept any (caller's risk)
 
   void worker_loop() {
     for (;;) {
@@ -114,9 +115,14 @@ struct Loader {
       }
       Frame f;
       bool ok = decode_png(rgb_paths[idx], &f.rgb, nullptr, &f.width, &f.height);
+      if (ok && expected_w > 0 &&
+          (f.width != expected_w || f.height != expected_h))
+        ok = false;  // dimension mismatch: would overflow caller buffers
       if (ok && !depth_paths[idx].empty()) {
-        int dw, dh;
+        int dw = 0, dh = 0;
         ok = decode_png(depth_paths[idx], nullptr, &f.depth, &dw, &dh);
+        if (ok && expected_w > 0 && (dw != expected_w || dh != expected_h))
+          ok = false;
       }
       f.failed = !ok;
       f.ready = true;
@@ -133,8 +139,10 @@ struct Loader {
 
 extern "C" {
 
+// expected_h/expected_w size the caller's buffers; frames decoded to any
+// other dimensions are reported as failures instead of overflowing them.
 void* dl_open(const char** rgb_paths, const char** depth_paths, int n_frames,
-              int n_threads, int lookahead) {
+              int n_threads, int lookahead, int expected_h, int expected_w) {
   auto* L = new Loader();
   L->rgb_paths.reserve(n_frames);
   L->depth_paths.reserve(n_frames);
@@ -144,6 +152,8 @@ void* dl_open(const char** rgb_paths, const char** depth_paths, int n_frames,
   }
   L->frames.resize(n_frames);
   L->lookahead = lookahead > 0 ? lookahead : 16;
+  L->expected_h = expected_h;
+  L->expected_w = expected_w;
   int nt = n_threads > 0 ? n_threads : 2;
   for (int i = 0; i < nt; ++i)
     L->workers.emplace_back([L] { L->worker_loop(); });

@@ -34,13 +34,17 @@ def _make_pattern() -> np.ndarray:
     return np.clip(pts, -PATCH_RADIUS, PATCH_RADIUS).astype(np.float32)
 
 
-PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) — (pair, endpoint, xy)
+# Module-level constants are NumPy on purpose: a jnp array here would
+# initialize a device backend at import time — before a CLI's --platform
+# switch can take effect — and pin these to the wrong device for the whole
+# process. NumPy constants are closed over by jit traces as literals.
+PATTERN = _make_pattern()  # (256, 2, 2) — (pair, endpoint, xy)
 # Lane-friendly flattening: [256 first endpoints, 256 second endpoints].
 # TPU arrays want a large minor dimension (lane = 128); shapes like
 # (K, 256, 2) put 2 in the lanes and waste 98% of the VPU, so all sampling
 # math below runs on (K, 512) instead.
-_PX = jnp.concatenate([PATTERN[:, 0, 0], PATTERN[:, 1, 0]])  # (512,)
-_PY = jnp.concatenate([PATTERN[:, 0, 1], PATTERN[:, 1, 1]])  # (512,)
+_PX = np.concatenate([PATTERN[:, 0, 0], PATTERN[:, 1, 0]])  # (512,)
+_PY = np.concatenate([PATTERN[:, 0, 1], PATTERN[:, 1, 1]])  # (512,)
 
 
 def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -40,7 +40,7 @@ class FrameResult:
 
 
 
-@partial(jax.jit, static_argnames=("n_hyps", "refine_iters"))
+@partial(jax.jit, static_argnames=("n_hyps", "refine_iters", "cross_check"))
 def _track_step(
     feats_desc,
     feats_uv,
@@ -57,6 +57,7 @@ def _track_step(
     threshold_px,
     n_hyps: int,
     refine_iters: int,
+    cross_check: bool = True,
 ):
     """One tracking step: match local map -> PnP-RANSAC -> GN refine.
 
@@ -65,7 +66,8 @@ def _track_step(
     Returns (R, t, inlier_mask_over_snapshot, match_idx2, n_inliers).
     """
     idx2, dist, good = match.match_ratio_test(
-        snap_desc, feats_desc, snap_valid, feats_valid, ratio=ratio, max_distance=max_hamming
+        snap_desc, feats_desc, snap_valid, feats_valid, ratio=ratio,
+        max_distance=max_hamming, cross_check=cross_check,
     )
     uv_cur = feats_uv[idx2]
     R, t, inliers, n_in = pnp.solve_pnp_ransac(
@@ -86,7 +88,7 @@ def _track_step(
     return packed, inliers, idx2
 
 
-@partial(jax.jit, static_argnames=("n_hyps", "model_selection"))
+@partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
 def _init_step(
     f0_desc,
     f0_uv,
@@ -102,6 +104,7 @@ def _init_step(
     distance_thresh,
     n_hyps: int,
     model_selection: bool = False,
+    cross_check: bool = True,
 ):
     """Two-view initialization attempt as ONE jitted computation.
 
@@ -112,7 +115,8 @@ def _init_step(
     the TPU tunnel costs ~0.3 ms/op and the init body is hundreds of ops.
     """
     idx2, dist, good = match.match_ratio_test(
-        f0_desc, f1_desc, f0_valid, f1_valid, ratio=ratio, max_distance=max_hamming
+        f0_desc, f1_desc, f0_valid, f1_valid, ratio=ratio,
+        max_distance=max_hamming, cross_check=cross_check,
     )
     uv1 = f0_uv
     uv2 = f1_uv[idx2]
@@ -149,7 +153,7 @@ def _init_step(
     return scalars, idx2, R, t, X1, cheir
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("cross_check",))
 def _mine_step(
     prev_desc,
     prev_uv,
@@ -166,14 +170,20 @@ def _mine_step(
     max_hamming,
     reproj_thresh_px,
     max_depth,
+    min_parallax_deg,
+    cross_check: bool = True,
 ):
     """New-landmark mining between two keyframes as one jitted computation.
 
     ≙ main.py:237-309: match unmapped features, DLT-triangulate, gate by
-    cheirality/depth/reprojection. Returns (idx2, keep_mask, X_world).
+    cheirality/depth/reprojection — plus the parallax gate of the
+    reference's validated `triangulation` helper (helper_functions.py:211-267,
+    min_parallax): low-parallax points carry huge depth uncertainty and
+    pollute long-run BA. Returns (idx2, keep_mask, X_world).
     """
     idx2, dist, good = match.match_ratio_test(
-        prev_desc, cur_desc, prev_avail, cur_valid, ratio=ratio, max_distance=max_hamming
+        prev_desc, cur_desc, prev_avail, cur_valid, ratio=ratio,
+        max_distance=max_hamming, cross_check=cross_check,
     )
     T1 = lie.make_T(R1, t1)
     T2 = lie.make_T(R2, t2)
@@ -189,7 +199,17 @@ def _mine_step(
         jnp.sum((pr1 - uv1) ** 2, -1) < reproj_thresh_px**2
     ) & (jnp.sum((pr2 - uv2) ** 2, -1) < reproj_thresh_px**2)
     depth_ok = (z1 > 0) & (z2 > 0) & (z1 < max_depth) & (z2 < max_depth)
-    keep = good & reproj_ok & depth_ok
+    # Parallax gate (≙ helper_functions.py:243-252 min_parallax check):
+    # angle between the two viewing rays at the triangulated point.
+    C1 = -jnp.einsum("ji,j->i", R1, t1)
+    C2 = -jnp.einsum("ji,j->i", R2, t2)
+    r1 = X - C1[None, :]
+    r2 = X - C2[None, :]
+    r1 = r1 / (jnp.linalg.norm(r1, axis=-1, keepdims=True) + 1e-12)
+    r2 = r2 / (jnp.linalg.norm(r2, axis=-1, keepdims=True) + 1e-12)
+    cosang = jnp.clip(jnp.sum(r1 * r2, axis=-1), -1.0, 1.0)
+    parallax_ok = jnp.degrees(jnp.arccos(cosang)) >= min_parallax_deg
+    keep = good & reproj_ok & depth_ok & parallax_ok
     return idx2, keep, X
 
 
@@ -267,7 +287,10 @@ class Slam:
             # No block here: the single packed fetch in _track synchronizes
             # the frame; every extra device round trip costs ~25 ms on this
             # backend's tunnel.
-            feats = frontend.extract(jnp.asarray(gray), self.cfg.frontend.max_features)
+            feats = frontend.extract(
+                jnp.asarray(gray), self.cfg.frontend.max_features,
+                self.cfg.frontend.quality_level, self.cfg.frontend.nms_radius,
+            )
         if not self.initialized:
             with self.timers.time("initialize"):
                 self._try_initialize(frame_idx, feats, depth)
@@ -303,6 +326,7 @@ class Slam:
             cfg.twoview.distance_thresh,
             n_hyps=cfg.twoview.ransac_hypotheses,
             model_selection=cfg.twoview.use_model_selection,
+            cross_check=cfg.frontend.cross_check,
         )
         scalars_np = np.asarray(scalars)  # ONE fetch for all three gates
         n_matches = int(scalars_np[0])
@@ -409,6 +433,7 @@ class Slam:
             cfg.tracking.pnp_threshold_px,
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
+            cross_check=cfg.frontend.cross_check,
         )
         try:
             packed.copy_to_host_async()  # overlap the ~24 ms fetch latency
@@ -498,6 +523,7 @@ class Slam:
             cfg.tracking.pnp_threshold_px,
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
+            cross_check=cfg.frontend.cross_check,
         )
         packed_np = np.asarray(packed)
         n = int(packed_np[12])
@@ -516,7 +542,11 @@ class Slam:
             snap = self._snapshot
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
         self.stats["keyframes"] += 1
-        snap = self._snapshot
+        # NOTE: use the handle-bound snapshot (`snap`), never re-read
+        # self._snapshot here — the forced BA apply above may have pruned
+        # observations and rebuilt the snapshot with a different slot order,
+        # which would silently make inliers/idx2 select the wrong pt_ids.
+        # The handle snapshot's pt_ids stay valid landmark ids regardless.
         inl_np = np.asarray(inliers)
         idx2_np = np.asarray(idx2)
         # Tracked landmarks gain an observation in the new keyframe
@@ -567,6 +597,8 @@ class Slam:
             cfg.frontend.max_hamming,
             cfg.keyframe.triangulation_reproj_px,
             cfg.keyframe.max_new_depth,
+            cfg.keyframe.min_parallax_deg,
+            cross_check=cfg.frontend.cross_check,
         )
         idx2_np = np.asarray(idx2)
         keep = np.array(keep_dev)
@@ -654,9 +686,13 @@ class Slam:
             self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + int(bad_np.sum())
         self.stats["ba_runs"] += 1
         # The optimized landmarks replace the tracking snapshot (pose
-        # continuity kept: the tracker's prev pose is not rewritten).
+        # continuity kept: the tracker's prev pose is not rewritten). The
+        # epoch bump invalidates any in-flight pipelined handle: pruning can
+        # reorder the snapshot's slots, so stale match indices must never be
+        # promoted into keyframe observations.
         if self._last_kf_id is not None:
             self._snapshot = self.map.local_snapshot(self._last_kf_id)
+            self._snap_epoch += 1
 
     def _run_full_ba(self, scale_gauge: bool):
         """Synchronous BA (init path): dispatch + immediate apply."""
@@ -762,7 +798,10 @@ def run_sequence(
     if pipelined:
         pending = None
         for i, gray, depth in dataset.frames(start, stop):
-            feats = frontend.extract(jnp.asarray(gray), config.frontend.max_features)
+            feats = frontend.extract(
+                jnp.asarray(gray), config.frontend.max_features,
+                config.frontend.quality_level, config.frontend.nms_radius,
+            )
             if not slam.initialized:
                 if pending is not None:
                     slam._consume_track(pending)
