@@ -4,9 +4,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": frames/s, "unit": "frames/s", "vs_baseline": x}
 
-vs_baseline compares against the measured CPU reference-semantics hot path
+The headline number includes host image decode (the C++ async loader runs
+inside the timed loop, overlapped with device compute); fps_no_io times the
+same pipeline over pre-decoded in-RAM frames. vs_baseline compares the
+headline against the measured CPU reference-semantics hot path
 (scripts/cpu_baseline.py -> BASELINE_CPU.json; 27.25 fps on this machine,
 BA excluded from the CPU side so the ratio is conservative).
+
+Also reports device-rate evidence: the back-to-back dispatched device fps of
+extract+track (the chip's speed-of-light for this loop) and an MXU/flops
+utilization estimate from XLA's compiled cost analysis.
 """
 import json
 import os
@@ -17,6 +24,8 @@ import numpy as np
 CPU_BASELINE_FPS = 27.25  # scripts/cpu_baseline.py measured on this host
 DATA = "/root/reference/data/ICL_NUIM"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
+PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "6"))
+V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e peak (bf16); f32 ~= 1/4 of this
 
 
 def main():
@@ -28,9 +37,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from visual_slam_tpu.config import SlamConfig
-    from visual_slam_tpu.pipeline import Slam
+    from visual_slam_tpu.pipeline import Slam, run_pipelined, _track_step
     from visual_slam_tpu.utils.dataset import ICLNUIMDataset
     from visual_slam_tpu.utils import evaluate
+    from visual_slam_tpu.models import frontend as _fe
+    from visual_slam_tpu import native
 
     if os.path.exists("BASELINE_CPU.json"):
         with open("BASELINE_CPU.json") as f:
@@ -39,11 +50,8 @@ def main():
         baseline_fps = CPU_BASELINE_FPS
 
     ds = ICLNUIMDataset(DATA)
-    # Host-side decode via the native C++ loader with grayscale conversion
-    # in native code: the device transfer then moves a 0.3 MB uint8 gray
-    # frame instead of 0.9 MB RGB (the tunnel H2D is a real per-frame cost).
-    from visual_slam_tpu import native
 
+    # Pre-decoded frames for warm-up and the no-IO pass.
     if native.available():
         loader, off = ds.async_loader(0, N_FRAMES)
         frames = [loader.get_gray(i)[0] for i in range(N_FRAMES)]
@@ -59,50 +67,134 @@ def main():
         warm.process(i, frames[i])
     del warm
 
-    slam = Slam(SlamConfig())
-    t0 = time.perf_counter()
-    # One-frame-ahead async H2D (device_put returns immediately) + software-
-    # pipelined tracking: frame i's ~25 ms fetch latency overlaps frame
-    # i+1's dispatched device work.
-    from visual_slam_tpu.models import frontend as _fe
+    def mem_iter():
+        for i in range(N_FRAMES):
+            yield i, jax.device_put(frames[i]), None
 
-    dev = jax.device_put(frames[0])
-    pending = None
-    for i in range(N_FRAMES):
-        nxt = jax.device_put(frames[i + 1]) if i + 1 < N_FRAMES else None
-        feats = _fe.extract(dev, slam.cfg.frontend.max_features,
-                            slam.cfg.frontend.quality_level,
-                            slam.cfg.frontend.nms_radius)
-        if not slam.initialized:
-            if pending is not None:
-                slam._consume_track(pending)
-                pending = None
-            slam._try_initialize(i, feats, None)
+    def io_iter():
+        """Decode inside the timed loop (C++ thread pool prefetches ahead)."""
+        if native.available():
+            ldr, _ = ds.async_loader(0, N_FRAMES)
+            try:
+                for i in range(N_FRAMES):
+                    gray, _ = ldr.get_gray(i)
+                    yield i, jax.device_put(gray), None
+            finally:
+                ldr.close()
         else:
-            slam._apply_pending_ba()
-            h = slam._dispatch_track(i, feats, None)
-            if pending is not None:
-                slam._consume_track(pending)
-            pending = h
-        dev = nxt
-    if pending is not None:
-        slam._consume_track(pending)
-    dt = time.perf_counter() - t0
-    fps = N_FRAMES / dt
+            for i in range(N_FRAMES):
+                yield i, jax.device_put(np.asarray(ds.gray(i))), None
+
+    # Headline: IO included.
+    t0 = time.perf_counter()
+    slam = run_pipelined(Slam(SlamConfig()), io_iter(), pipeline_depth=PIPE_DEPTH)
+    fps_io = N_FRAMES / (time.perf_counter() - t0)
+
+    # No-IO variant (frames already in RAM; matches BASELINE_CPU conditions).
+    t0 = time.perf_counter()
+    slam2 = run_pipelined(Slam(SlamConfig()), mem_iter(), pipeline_depth=PIPE_DEPTH)
+    fps_mem = N_FRAMES / (time.perf_counter() - t0)
+    slam_best = slam2 if fps_mem >= fps_io else slam
+
+    # Device-rate evidence: back-to-back extract+track dispatches with
+    # on-device pose threading, one terminal block (no per-frame host sync).
+    import jax.numpy as jnp
+
+    snap = slam_best._snapshot
+    fq = cfg.frontend
+    devs = [jax.device_put(f) for f in frames[:100]]
+    jax.block_until_ready(devs[-1])
+
+    def device_pass():
+        R = jnp.asarray(slam_best._prev_R)
+        t = jnp.asarray(slam_best._prev_t)
+        key = jax.random.PRNGKey(0)
+        last = None
+        for d in devs:
+            feats = _fe.extract(d, fq.max_features, fq.quality_level, fq.nms_radius)
+            packed, R, t, inl, idx2 = _track_step(
+                feats.desc, feats.uv, feats.valid,
+                snap["desc"], snap["xyz"], snap["valid"],
+                R, t, slam_best.intr, key,
+                fq.match_ratio, fq.max_hamming,
+                cfg.tracking.pnp_threshold_px,
+                n_hyps=cfg.tracking.pnp_hypotheses,
+                refine_iters=cfg.tracking.refine_iters,
+                cross_check=fq.cross_check,
+            )
+            last = packed
+        jax.block_until_ready(last)
+
+    device_pass()  # warm (pose-threaded input shapes)
+    t0 = time.perf_counter()
+    device_pass()
+    device_fps = len(devs) / (time.perf_counter() - t0)
+
+    # Utilization estimate: flops per frame from XLA cost analysis of the two
+    # per-frame jits, at the measured device rate, vs chip peak. SLAM is a
+    # latency/bandwidth workload (small matmuls between data-dependent
+    # stages), so MFU is expected to be <<1; reported for the record.
+    flops_per_frame = None
+    mfu_pct = None
+    try:
+        from functools import partial
+
+        img0 = jax.device_put(frames[0])
+        c1 = (
+            jax.jit(
+                lambda im: _fe.extract(im, fq.max_features, fq.quality_level, fq.nms_radius)
+            )
+            .lower(img0)
+            .compile()
+            .cost_analysis()
+        )
+        feats0 = _fe.extract(img0, fq.max_features, fq.quality_level, fq.nms_radius)
+        c2 = (
+            jax.jit(
+                partial(
+                    _track_step,
+                    n_hyps=cfg.tracking.pnp_hypotheses,
+                    refine_iters=cfg.tracking.refine_iters,
+                    cross_check=fq.cross_check,
+                )
+            )
+            .lower(
+                feats0.desc, feats0.uv, feats0.valid,
+                snap["desc"], snap["xyz"], snap["valid"],
+                jnp.eye(3), jnp.zeros(3), slam_best.intr, jax.random.PRNGKey(0),
+                fq.match_ratio, fq.max_hamming, cfg.tracking.pnp_threshold_px,
+            )
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(c1, list):
+            c1 = c1[0]
+        if isinstance(c2, list):
+            c2 = c2[0]
+        flops_per_frame = float(c1.get("flops", 0.0)) + float(c2.get("flops", 0.0))
+        mfu_pct = flops_per_frame * device_fps / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100.0
+    except Exception:
+        pass
 
     extra = {
-        "keyframes": slam.stats["keyframes"],
-        "points": int(slam.map.pt_valid.sum()),
-        "init_frame": slam.stats["init_frame"],
+        "fps_no_io": round(fps_mem, 2),
+        "fps_device_rate": round(device_fps, 1),
+        "pipeline_depth": PIPE_DEPTH,
+        "keyframes": slam_best.stats["keyframes"],
+        "points": int(slam_best.map.pt_valid.sum()),
+        "init_frame": slam_best.stats["init_frame"],
         "backend": jax.default_backend(),
-        "ba_iters_per_s": round(slam.ba_iters_per_s(), 1),
+        "ba_iters_per_s": round(slam_best.ba_iters_per_s(), 1),
         "stage_ms": {
-            k: v["ms_per_call"] for k, v in slam.timers.summary().items()
+            k: v["ms_per_call"] for k, v in slam_best.timers.summary().items()
         },
     }
+    if flops_per_frame is not None:
+        extra["flops_per_frame"] = round(flops_per_frame)
+        extra["mfu_pct_at_device_rate"] = round(mfu_pct, 4)
     gt = ds.ground_truth()
-    if gt is not None and slam.initialized:
-        idxs, est = slam.positions()
+    if gt is not None and slam_best.initialized:
+        idxs, est = slam_best.positions()
         gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
         rmse, _ = evaluate.ate_rmse(est, gt_pos, align_scale=True)
         extra["ate_rmse_m"] = round(rmse, 5)
@@ -110,10 +202,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "ICL-NUIM lr_kt0 200-frame SLAM throughput",
-                "value": round(fps, 2),
+                "metric": "ICL-NUIM lr_kt0 200-frame SLAM throughput (incl. image decode)",
+                "value": round(fps_io, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 2),
+                "vs_baseline": round(fps_io / baseline_fps, 2),
                 **extra,
             }
         )

@@ -51,23 +51,47 @@ def synth_problem(rng, K=6, P=300, noise_px=0.0, pose_noise=0.0, point_noise=0.0
         t0[k] = dR @ t_gt[k] + dt
     cam_fixed = np.zeros(K, bool)
     cam_fixed[0] = True
-    prob = ba.make_problem(
-        R=jnp.asarray(R0),
-        t=jnp.asarray(t0),
-        X=jnp.asarray(X0),
-        cam=jnp.asarray(np.concatenate(cams)),
-        pnt=jnp.asarray(np.concatenate(pnts)),
-        uv=jnp.asarray(np.concatenate(uvs).astype(np.float32)),
-        w=jnp.ones(K * P, jnp.float32),
-        intr=jnp.asarray(INTR),
-        cam_fixed=jnp.asarray(cam_fixed),
+    prob, meta = ba.make_problem(
+        R=R0,
+        t=t0,
+        X=X0,
+        cam=np.concatenate(cams),
+        pnt=np.concatenate(pnts),
+        uv=np.concatenate(uvs).astype(np.float32),
+        w=np.ones(K * P, np.float32),
+        intr=INTR,
+        cam_fixed=cam_fixed,
     )
     return prob, (R_gt, t_gt, X)
 
 
 def mean_reproj_error(p):
-    r, _, _, _ = ba._residuals_and_jacobians(p)
-    return float(np.sqrt(np.mean(np.sum(np.asarray(r) ** 2, -1))))
+    """Weighted RMS reprojection error over real (w>0) slots."""
+    err, w = ba.reproj_errors(p)
+    err = np.asarray(err)
+    w = np.asarray(w)
+    return float(np.sqrt((err**2 * w).sum() / max(w.sum(), 1.0)))
+
+
+def test_planar_packing_roundtrip(rng):
+    """pack_planar groups slots by landmark and preserves every valid obs."""
+    O = 500
+    cam = rng.integers(0, 7, O).astype(np.int32)
+    pnt = rng.integers(0, 90, O).astype(np.int32)
+    uv = rng.normal(size=(O, 2)).astype(np.float32)
+    w = (rng.uniform(size=O) > 0.2).astype(np.float32)
+    cam_s, uv_s, w_s, pt_valid, pt_ids, meta = ba.pack_planar(cam, pnt, uv, w)
+    N = len(cam_s)
+    P = len(pt_ids)
+    Q = N // P
+    assert float(w_s.sum()) == float(w.sum())
+    filled = np.where(meta.slot_obs >= 0)[0]
+    rows = meta.slot_obs[filled]
+    # Slot s holds an observation of packed landmark s // Q.
+    np.testing.assert_array_equal(pt_ids[filled // Q], pnt[rows])
+    np.testing.assert_array_equal(cam_s[filled], cam[rows])
+    np.testing.assert_allclose(uv_s[0, filled], uv[rows, 0])
+    np.testing.assert_allclose(uv_s[1, filled], uv[rows, 1])
 
 
 def test_ba_converges_from_perturbation(rng):
@@ -102,15 +126,19 @@ def test_ba_respects_fixed_cam(rng):
 
 def test_ba_huber_resists_outliers(rng):
     prob, (R_gt, t_gt, X_gt) = synth_problem(rng, pose_noise=0.02, point_noise=0.02)
-    # Corrupt 5% of observations grossly.
+    # Corrupt 5% of real observations grossly.
     uv = np.array(prob.uv)
-    n = uv.shape[0]
-    bad = rng.choice(n, size=n // 20, replace=False)
-    uv[bad] += rng.uniform(50, 150, size=(len(bad), 2)).astype(np.float32)
+    w = np.asarray(prob.w)
+    real = np.where(w > 0)[0]
+    bad = rng.choice(real, size=len(real) // 20, replace=False)
+    uv[:, bad] += rng.uniform(50, 150, size=(2, len(bad))).astype(np.float32)
     prob = prob._replace(uv=jnp.asarray(uv))
     out, _ = ba.optimize(prob, n_iters=12)
     np.testing.assert_allclose(np.asarray(out.R[1:]), R_gt[1:], atol=5e-3)
-    np.testing.assert_allclose(np.asarray(out.t[1:]), t_gt[1:], atol=5e-2)
+    # Monocular scale is an exact gauge freedom here (no scale edges): the
+    # direct Schur solve may slide along it, so compare scale-aligned.
+    s = np.linalg.norm(np.asarray(out.t[1])) / np.linalg.norm(t_gt[1])
+    np.testing.assert_allclose(np.asarray(out.t[1:]) / s, t_gt[1:], atol=5e-2)
 
 
 def test_motion_only_ba(rng):
@@ -122,51 +150,88 @@ def test_motion_only_ba(rng):
     np.testing.assert_allclose(np.asarray(out.t), t_gt, atol=1e-2)
 
 
-def test_ba_ignores_padding(rng):
-    """Padded (w=0) observations and extra zero landmarks must not move."""
-    prob, _ = synth_problem(rng, K=4, P=100, pose_noise=0.02, point_noise=0.02)
-    O = prob.uv.shape[0]
-    pad_obs = 64
-    prob2 = prob._replace(
-        cam=jnp.concatenate([prob.cam, jnp.zeros(pad_obs, jnp.int32)]),
-        pnt=jnp.concatenate([prob.pnt, jnp.zeros(pad_obs, jnp.int32)]),
-        uv=jnp.concatenate([prob.uv, jnp.full((pad_obs, 2), 1e6, jnp.float32)]),
-        w=jnp.concatenate([prob.w, jnp.zeros(pad_obs, jnp.float32)]),
+def test_ba_ignores_zero_weight_obs(rng):
+    """w=0 observations are dropped by the packer: appending garbage rows at
+    w=0 must yield a numerically identical optimization."""
+    O = 400
+    cam = rng.integers(0, 4, O).astype(np.int32)
+    pnt = rng.integers(0, 80, O).astype(np.int32)
+    uv = rng.uniform(0, 600, size=(O, 2)).astype(np.float32)
+    w = np.ones(O, np.float32)
+    X = np.stack(
+        [rng.uniform(-2, 2, 80), rng.uniform(-1.5, 1.5, 80), rng.uniform(4, 8, 80)],
+        -1,
+    ).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    t = rng.normal(scale=0.05, size=(4, 3)).astype(np.float32)
+    cam_fixed = np.array([True, False, False, False])
+    args = dict(R=R, t=t, X=X, intr=INTR, cam_fixed=cam_fixed)
+    p1, _ = ba.make_problem(cam=cam, pnt=pnt, uv=uv, w=w, **args)
+    pad = 57
+    p2, _ = ba.make_problem(
+        cam=np.concatenate([cam, np.zeros(pad, np.int32)]),
+        pnt=np.concatenate([pnt, np.zeros(pad, np.int32)]),
+        uv=np.concatenate([uv, np.full((pad, 2), 1e6, np.float32)]),
+        w=np.concatenate([w, np.zeros(pad, np.float32)]),
+        **args,
     )
-    out1, c1 = ba.optimize(prob, n_iters=5)
-    out2, c2 = ba.optimize(prob2, n_iters=5)
-    np.testing.assert_allclose(np.asarray(out1.R), np.asarray(out2.R), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out1.t), np.asarray(out2.t), atol=1e-5)
+    out1, c1 = ba.optimize(p1, n_iters=3)
+    out2, c2 = ba.optimize(p2, n_iters=3)
+    np.testing.assert_allclose(np.asarray(out1.R), np.asarray(out2.R), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1.t), np.asarray(out2.t), atol=1e-6)
 
 
 def test_median_depth_normalize(rng):
     prob, _ = synth_problem(rng, K=3, P=50)
-    valid = jnp.ones(50, bool)
-    out = ba.median_depth_normalize(prob, valid)
+    out = ba.median_depth_normalize(prob)
     norms = np.linalg.norm(np.asarray(out.X), axis=-1)
-    med = np.median(norms)
+    valid = np.asarray(prob.pt_valid) > 0
+    med = np.median(norms[valid])
     assert abs(med - 1.0) < 0.05
 
 
-def test_ell_path_matches_scatter(rng):
-    """The ELL (gather+dense-sum) reduction path must reproduce the scatter
-    path exactly — same math, different memory access pattern."""
+def test_chol_and_cg_solvers_match(rng):
+    """The explicit-Schur Cholesky path and the implicit-matvec CG path must
+    agree — same normal equations, different solve."""
     prob, _ = synth_problem(rng, K=5, P=120, pose_noise=0.02, point_noise=0.03)
-    K, P = 5, 120
-    cam_obs, cam_ok, pt_obs, pt_ok = ba.build_ell_tables(
-        prob.cam, prob.pnt, np.asarray(prob.w) > 0, K, P, 200, 8
+    out_ch, c_ch = ba.optimize(prob, n_iters=5, solver="chol")
+    out_cg, c_cg = ba.optimize(prob, n_iters=5, cg_iters=40, solver="cg")
+    np.testing.assert_allclose(np.asarray(out_cg.R), np.asarray(out_ch.R), atol=1e-4)
+    s = np.linalg.norm(np.asarray(out_cg.t[1])) / np.linalg.norm(
+        np.asarray(out_ch.t[1])
     )
-    prob_ell = prob._replace(
-        cam_obs=jnp.asarray(cam_obs),
-        cam_obs_ok=jnp.asarray(cam_ok),
-        pt_obs=jnp.asarray(pt_obs),
-        pt_obs_ok=jnp.asarray(pt_ok),
+    np.testing.assert_allclose(np.asarray(out_cg.t) / s, np.asarray(out_ch.t), atol=1e-3)
+    np.testing.assert_allclose(float(c_cg), float(c_ch), rtol=1e-3, atol=1e-6)
+
+
+def test_scale_edge_jacobians_closed_form(rng):
+    """The closed-form scale-edge Jacobians must match finite differences."""
+    import jax
+
+    prob, _ = synth_problem(rng, K=4, P=60, pose_noise=0.05)
+    se_i = np.array([0, 1, 2], np.int32)
+    se_j = np.array([1, 2, 3], np.int32)
+    se_meas = np.array([0.1, 0.3, 0.2], np.float32)
+    se_w = np.ones(3, np.float32)
+    p = prob._replace(
+        se_i=jnp.asarray(se_i), se_j=jnp.asarray(se_j),
+        se_meas=jnp.asarray(se_meas), se_w=jnp.asarray(se_w),
     )
-    out_sc, c_sc = ba.optimize(prob, n_iters=5)
-    out_el, c_el = ba.optimize(prob_ell, n_iters=5)
-    np.testing.assert_allclose(np.asarray(out_el.R), np.asarray(out_sc.R), atol=1e-5)
-    # Summation order differs, so float noise walks along the unobservable
-    # monocular scale direction — compare after scale alignment.
-    s = np.linalg.norm(np.asarray(out_el.t[1])) / np.linalg.norm(np.asarray(out_sc.t[1]))
-    np.testing.assert_allclose(np.asarray(out_el.t) / s, np.asarray(out_sc.t), atol=1e-3)
-    np.testing.assert_allclose(float(c_el), float(c_sc), rtol=1e-3, atol=1e-6)
+    r0, Ji, Jj = jax.jit(ba._scale_edge_terms)(p)
+    eps = 1e-4
+    for e in range(3):
+        for d in range(6):
+            delta = np.zeros(6, np.float32)
+            delta[d] = eps
+            dR, dt = jax.tree.map(np.asarray, lie.se3_exp(jnp.asarray(delta)))
+            # Perturb pose i.
+            R2 = np.array(p.R)
+            t2 = np.array(p.t)
+            i = se_i[e]
+            R2[i] = dR @ R2[i]
+            t2[i] = dR @ t2[i] + dt
+            r1, _, _ = jax.jit(ba._scale_edge_terms)(
+                p._replace(R=jnp.asarray(R2), t=jnp.asarray(t2))
+            )
+            fd = (float(r1[e]) - float(r0[e])) / eps
+            np.testing.assert_allclose(float(Ji[e, d]), fd, atol=2e-3)

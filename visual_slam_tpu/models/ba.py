@@ -1,6 +1,5 @@
 """Bundle adjustment: Levenberg-Marquardt with Schur-complement landmark
-elimination, built for TPU as batched gathers, segment-sums, and small-block
-matmuls — no sparse matrices, no per-edge Python loops.
+elimination, in a TPU-planar data layout.
 
 TPU-native replacement for the reference's g2o back-end
 (src/v2/LocalBA.py:20-229): `localBundleAdjustement` (poses + landmarks,
@@ -9,22 +8,30 @@ at LocalBA.py:72) and `motionOnlyBundleAdjustement` (:195-229, landmarks and
 keyframes fixed). The robust kernel is Huber at sqrt(5.991) (LocalBA.py:82);
 the optional median-depth gauge normalization mirrors LocalBA.py:179-190.
 
-Design (SURVEY.md §7): instead of assembling g2o's block-sparse Hessian and
-running CHOLMOD, the reduced camera system S = U - W V^{-1} W^T is applied
-*implicitly* inside a preconditioned conjugate-gradient solve. Every matvec
-is one pass over the observation table:
+Data layout (the whole design):
 
-    gather cam/point blocks -> small (2x6)/(2x3) dense products ->
-    segment-sum back to cams/points
+  Per-observation tensors with tiny minor dimensions ((O,2,6) Jacobians,
+  (O,) index gathers) run ~200x off speed-of-light on this TPU — bad
+  layouts plus per-op overhead dominate. So every per-observation quantity
+  here is a PLANAR array (d..., N) with the observation axis N minor
+  (lane-aligned), and N = P*Q: observations are grouped by landmark, point
+  p owning the Q slots [p*Q, (p+1)*Q). Consequences:
 
-which XLA fuses into large batched einsums — and which shards over devices
-by splitting the observation table and psum-ing the reduced results
-(see parallel/sharded_ba.py).
+  * point-side segment sums are `reshape(..., P, Q).sum(-1)` — no gather,
+    no scatter, no index tables;
+  * the landmark gather X[pnt] is a broadcast;
+  * camera-side gathers (R[cam]) and segment sums become matmuls against a
+    (K, N) one-hot matrix — MXU work, no gathers;
+  * for the online problem size (K <= ~128) the reduced camera system
+    S = U - W V^{-1} W^T is built EXPLICITLY with three einsums and solved
+    with one dense (6K, 6K) Cholesky — no CG loop, ~10x fewer device ops.
+    An implicit-matvec PCG path (solver="cg") remains for scales where S
+    is too large to materialize.
 
-State layout (fixed shapes, masked):
-  poses:   R_cw (K,3,3), t_cw (K,3) world->camera
-  points:  X (P,3)
-  observations: cam (O,) int32, pnt (O,) int32, uv (O,2), w (O) >=0
+Multi-device: the problem shards over the LANDMARK axis (each shard owns
+P/n points and their N/n observation slots); camera-side reductions
+(U, g_c, S, b) are psum-ed, the point-side (V, g_p, delta_p) never leaves
+its shard. See parallel/sharded_ba.py.
 """
 from __future__ import annotations
 
@@ -33,14 +40,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import lie
 
 HUBER_DELTA = 2.4477  # sqrt(5.991), ≙ reference LocalBA.py:82
+HI = jax.lax.Precision.HIGHEST
 
 
 class BAProblem(NamedTuple):
-    """A fixed-shape bundle-adjustment problem.
+    """A fixed-shape bundle-adjustment problem in point-major planar layout.
 
     Scale edges (se_*) pin the norms of relative translations between
     keyframe pairs — g2o's EdgeSBAScale as added per parent->child link by
@@ -52,274 +61,220 @@ class BAProblem(NamedTuple):
 
     R: jnp.ndarray  # (K,3,3) world->camera rotations
     t: jnp.ndarray  # (K,3) world->camera translations
-    X: jnp.ndarray  # (P,3) landmarks
-    cam: jnp.ndarray  # (O,) int32 camera index per observation
-    pnt: jnp.ndarray  # (O,) int32 landmark index per observation
-    uv: jnp.ndarray  # (O,2) measured pixels
-    w: jnp.ndarray  # (O,) observation weights (0 = invalid/padding)
+    X: jnp.ndarray  # (P,3) landmarks (compacted; padding rows are zero)
+    pt_valid: jnp.ndarray  # (P,) float32 1.0 for real landmarks
+    cam: jnp.ndarray  # (N,) int32 camera index per slot, N = P*Q
+    uv: jnp.ndarray  # (2,N) measured pixels (planar)
+    w: jnp.ndarray  # (N,) slot weights (0 = empty slot)
     intr: jnp.ndarray  # (4,) fx fy cx cy
-    cam_fixed: jnp.ndarray  # (K,) bool — poses held constant (gauge/keyframes)
+    cam_fixed: jnp.ndarray  # (K,) bool — poses held constant (gauge)
     se_i: jnp.ndarray  # (E,) int32 scale-edge first keyframe
     se_j: jnp.ndarray  # (E,) int32 scale-edge second keyframe
     se_meas: jnp.ndarray  # (E,) measured ||t_rel||
     se_w: jnp.ndarray  # (E,) scale-edge weights (0 = padding)
-    # Optional ELL-format reduction tables (single-device fast path). TPU
-    # scatter-adds serialize, so when these are provided every segment-sum
-    # becomes gather + dense-axis sum: cam_obs (K,Qc) / pt_obs (P,Qp) hold
-    # observation-row indices per camera / per landmark, with 0/1 validity.
-    # None => scatter path (required for the observation-sharded solver,
-    # whose shards cannot index a global table).
-    cam_obs: jnp.ndarray | None = None  # (K,Qc) int32
-    cam_obs_ok: jnp.ndarray | None = None  # (K,Qc) float32
-    pt_obs: jnp.ndarray | None = None  # (P,Qp) int32
-    pt_obs_ok: jnp.ndarray | None = None  # (P,Qp) float32
+
+
+class BAMeta(NamedTuple):
+    """Host-side mapping from packed slots back to the caller's indexing."""
+
+    slot_obs: np.ndarray  # (N,) original observation row per slot, -1 = empty
+    pt_ids: np.ndarray  # (P,) original landmark index per packed row, -1 = pad
+
+
+def _bucket(n: int, floor: int) -> int:
+    q = floor
+    while q < n:
+        q *= 2
+    return q
+
+
+def pack_planar(cam, pnt, uv, w, n_points=None, min_p=64, min_q=8):
+    """Group O-indexed observations by landmark into the (P, Q) slot layout.
+
+    Host-side NumPy. Landmarks with no valid observation are dropped
+    (compaction); P and Q are bucketed to powers of two so the jitted solver
+    recompiles at most a few times per run. Returns planar pieces + BAMeta.
+    """
+    cam = np.asarray(cam)
+    pnt = np.asarray(pnt)
+    uv = np.asarray(uv, np.float32)
+    w = np.asarray(w, np.float32)
+    valid = np.where(w > 0)[0]
+    vp = pnt[valid]
+    used = np.unique(vp)  # sorted original landmark ids with >=1 valid obs
+    P = _bucket(max(len(used), 1), min_p)
+    counts = np.bincount(np.searchsorted(used, vp), minlength=max(len(used), 1))
+    Q = _bucket(int(counts.max()) if counts.size else 1, min_q)
+    N = P * Q
+    order = np.argsort(vp, kind="stable")
+    rows = valid[order]
+    dense_p = np.searchsorted(used, vp[order])
+    first = np.searchsorted(dense_p, np.arange(len(used)), side="left")
+    slot = dense_p * Q + (np.arange(len(rows)) - first[dense_p])
+    cam_s = np.zeros(N, np.int32)
+    uv_s = np.zeros((2, N), np.float32)
+    w_s = np.zeros(N, np.float32)
+    slot_obs = np.full(N, -1, np.int64)
+    cam_s[slot] = cam[rows]
+    uv_s[0, slot] = uv[rows, 0]
+    uv_s[1, slot] = uv[rows, 1]
+    w_s[slot] = w[rows]
+    slot_obs[slot] = rows
+    pt_ids = np.full(P, -1, np.int64)
+    pt_ids[: len(used)] = used
+    pt_valid = np.zeros(P, np.float32)
+    pt_valid[: len(used)] = 1.0
+    return cam_s, uv_s, w_s, pt_valid, pt_ids, BAMeta(slot_obs, pt_ids)
 
 
 def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
                  se_i=None, se_j=None, se_meas=None, se_w=None,
-                 cam_obs=None, cam_obs_ok=None, pt_obs=None, pt_obs_ok=None) -> BAProblem:
-    """BAProblem constructor with empty-by-default scale edges."""
+                 min_p=64, min_q=8):
+    """Build a planar BAProblem from O-indexed observation arrays.
+
+    X is given in the caller's landmark indexing; it is compacted to the
+    packed rows. Returns (problem, meta); meta maps results back.
+    """
+    R = np.asarray(R, np.float32)
+    cam_s, uv_s, w_s, pt_valid, pt_ids, meta = pack_planar(
+        cam, pnt, uv, w, min_p=min_p, min_q=min_q
+    )
+    X = np.asarray(X, np.float32)
+    Xp = np.zeros((len(pt_ids), 3), np.float32)
+    real = pt_ids >= 0
+    Xp[real] = X[pt_ids[real]]
     if se_i is None:
-        se_i = jnp.zeros(1, jnp.int32)
-        se_j = jnp.zeros(1, jnp.int32)
-        se_meas = jnp.zeros(1, R.dtype)
-        se_w = jnp.zeros(1, R.dtype)
-    return BAProblem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
-                     se_i, se_j, se_meas, se_w,
-                     cam_obs, cam_obs_ok, pt_obs, pt_obs_ok)
-
-
-def build_ell_tables(cam, pnt, valid, K, P, max_per_cam, max_per_pnt):
-    """Host-side (NumPy, vectorized) construction of the ELL tables."""
-    import numpy as _np
-
-    def _fill(keys, n_keys, Q):
-        idxs = _np.where(_np.asarray(valid))[0]
-        k = _np.asarray(keys)[idxs]
-        order = _np.argsort(k, kind="stable")
-        sk = k[order]
-        si = idxs[order].astype(_np.int32)
-        first = _np.searchsorted(sk, _np.arange(n_keys), side="left")
-        pos = _np.arange(len(sk)) - first[sk]
-        if len(pos) and pos.max() >= Q:
-            raise RuntimeError("ELL table capacity exceeded")
-        tab = _np.zeros((n_keys, Q), _np.int32)
-        ok = _np.zeros((n_keys, Q), _np.float32)
-        tab[sk, pos] = si
-        ok[sk, pos] = 1.0
-        return tab, ok
-
-    cam_obs, cam_ok = _fill(cam, K, max_per_cam)
-    pt_obs, pt_ok = _fill(pnt, P, max_per_pnt)
-    return cam_obs, cam_ok, pt_obs, pt_ok
-
-
-def _seg_cam(vals: jnp.ndarray, p: BAProblem, K: int) -> jnp.ndarray:
-    """Sum per-observation values into camera slots: (O, D...) -> (K, D...)."""
-    if p.cam_obs is not None:
-        g = vals[p.cam_obs]  # (K,Qc,D...)
-        ok = p.cam_obs_ok.reshape(p.cam_obs_ok.shape + (1,) * (g.ndim - 2))
-        return jnp.sum(g * ok, axis=1)
-    return jnp.zeros((K,) + vals.shape[1:], vals.dtype).at[p.cam].add(vals)
-
-
-def _seg_pnt(vals: jnp.ndarray, p: BAProblem, P: int) -> jnp.ndarray:
-    """Sum per-observation values into landmark slots: (O, D...) -> (P, D...)."""
-    if p.pt_obs is not None:
-        g = vals[p.pt_obs]  # (P,Qp,D...)
-        ok = p.pt_obs_ok.reshape(p.pt_obs_ok.shape + (1,) * (g.ndim - 2))
-        return jnp.sum(g * ok, axis=1)
-    return jnp.zeros((P,) + vals.shape[1:], vals.dtype).at[p.pnt].add(vals)
-
-
-def _scale_edge_residual(R, t, se_i, se_j, se_meas):
-    """r_e = ||t_rel(i,j)|| - meas for keyframe pairs (world->cam poses)."""
-    Ri, ti = R[se_i], t[se_i]
-    Rj, tj = R[se_j], t[se_j]
-    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
-    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
-    return jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12) - se_meas
-
-
-def _scale_edge_jacobians(p: BAProblem):
-    """Per-edge residual + Jacobians wrt left-composed se3 deltas of (i, j).
-
-    Returns r (E,), Ji (E,6), Jj (E,6). Uses jacfwd on the 12-dim per-edge
-    perturbation (vmapped) — edges are keyframe-count sized, this is cheap.
-    """
-    def one_edge(Ri, ti, Rj, tj, meas):
-        def res(d):
-            di, dj = d[:6], d[6:]
-            dRi, dti = lie.se3_exp(di)
-            dRj, dtj = lie.se3_exp(dj)
-            Ri_ = dRi @ Ri
-            ti_ = dRi @ ti + dti
-            Rj_ = dRj @ Rj
-            tj_ = dRj @ tj + dtj
-            R_rel = Ri_ @ Rj_.T
-            t_rel = ti_ - R_rel @ tj_
-            # Epsilon-safe norm: padded edges (i == j) sit at t_rel == 0,
-            # where norm's derivative is undefined (NaN would poison the
-            # weighted sums even at weight 0).
-            return jnp.sqrt(jnp.sum(t_rel * t_rel) + 1e-12) - meas
-
-        d0 = jnp.zeros(12, p.R.dtype)
-        r = res(d0)
-        J = jax.jacfwd(res)(d0)
-        return r, J[:6], J[6:]
-
-    return jax.vmap(one_edge)(
-        p.R[p.se_i], p.t[p.se_i], p.R[p.se_j], p.t[p.se_j], p.se_meas
+        se_i = np.zeros(1, np.int32)
+        se_j = np.zeros(1, np.int32)
+        se_meas = np.zeros(1, np.float32)
+        se_w = np.zeros(1, np.float32)
+    prob = BAProblem(
+        R=jnp.asarray(R),
+        t=jnp.asarray(t, dtype=jnp.float32),
+        X=jnp.asarray(Xp),
+        pt_valid=jnp.asarray(pt_valid),
+        cam=jnp.asarray(cam_s),
+        uv=jnp.asarray(uv_s),
+        w=jnp.asarray(w_s),
+        intr=jnp.asarray(intr, dtype=jnp.float32),
+        cam_fixed=jnp.asarray(np.asarray(cam_fixed, bool)),
+        se_i=jnp.asarray(np.asarray(se_i, np.int32)),
+        se_j=jnp.asarray(np.asarray(se_j, np.int32)),
+        se_meas=jnp.asarray(np.asarray(se_meas, np.float32)),
+        se_w=jnp.asarray(np.asarray(se_w, np.float32)),
     )
+    return prob, meta
 
 
-def _residuals_and_jacobians(p: BAProblem):
-    """Per-observation residuals and Jacobian blocks.
+def _onehot(p: BAProblem) -> jnp.ndarray:
+    """(K, N) camera one-hot; column n selects camera cam[n]."""
+    K = p.R.shape[0]
+    return (
+        jnp.arange(K, dtype=p.cam.dtype)[:, None] == p.cam[None, :]
+    ).astype(p.R.dtype)
 
-    Returns r (O,2), Jc (O,2,6) d r/d(cam se3 delta, left-composed),
-    Jp (O,2,3) d r/d(landmark), w_irls (O,) robust*validity weight.
+
+def _project_planar(p: BAProblem, C_T: jnp.ndarray):
+    """Predicted pixels + the per-slot geometry planes every stage shares.
+
+    Returns (r (2,N), Xc (3,N), Rg (3,3,N), iz (N,), w_irls (N,)).
     """
-    fx, fy = p.intr[0], p.intr[1]
-    Rg = p.R[p.cam]  # (O,3,3)
-    tg = p.t[p.cam]  # (O,3)
-    Xg = p.X[p.pnt]  # (O,3)
-    Xc = jnp.einsum("oij,oj->oi", Rg, Xg) + tg
-    z = Xc[:, 2]
+    P, Q = p.X.shape[0], p.cam.shape[0] // p.X.shape[0]
+    N = p.cam.shape[0]
+    fx, fy, cx, cy = p.intr[0], p.intr[1], p.intr[2], p.intr[3]
+    # R[cam], t[cam] as one-hot matmuls -> planar (.., N).
+    Rg = jnp.einsum("kab,kn->abn", p.R, C_T, precision=HI)  # (3,3,N)
+    tg = jnp.einsum("ka,kn->an", p.t, C_T, precision=HI)  # (3,N)
+    # X[pnt] is a broadcast: slot n belongs to point n // Q.
+    Xg = jnp.broadcast_to(p.X.T[:, :, None], (3, P, Q)).reshape(3, N)
+    Xc = jnp.einsum("abn,bn->an", Rg, Xg, precision=HI) + tg  # (3,N)
+    z = Xc[2]
     z_safe = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
-    inv_z = 1.0 / z_safe
-    pred = jnp.stack(
-        [fx * Xc[:, 0] * inv_z + p.intr[2], fy * Xc[:, 1] * inv_z + p.intr[3]],
-        axis=-1,
-    )
-    r = pred - p.uv  # (O,2)
-    # Robust Huber IRLS weight on the residual norm.
-    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    iz = 1.0 / z_safe
+    pred = jnp.stack([fx * Xc[0] * iz + cx, fy * Xc[1] * iz + cy])
+    r = pred - p.uv  # (2,N)
+    rn = jnp.sqrt(jnp.sum(r * r, axis=0) + 1e-12)
     w_rob = jnp.where(rn <= HUBER_DELTA, 1.0, HUBER_DELTA / rn)
     w_irls = p.w * w_rob * (z > 1e-6)
-    # d(uv)/d(Xc): (O,2,3)
-    zero = jnp.zeros_like(z)
-    J_proj = jnp.stack(
+    return r, Xc, Rg, iz, w_irls
+
+
+def _jacobians_planar(Xc, Rg, iz, intr):
+    """Planar Jacobian planes: Jc (2,6,N) d r/d(cam se3, left-composed),
+    Jp (2,3,N) d r/d(landmark). Hand-derived products of
+    J_proj = [[a,0,b],[0,c,d]] with [-hat(Xc) | I] and R_cw."""
+    fx, fy = intr[0], intr[1]
+    x, y, z = Xc[0], Xc[1], Xc[2]
+    a = fx * iz
+    b = -fx * x * iz * iz
+    c = fy * iz
+    d = -fy * y * iz * iz
+    zero = jnp.zeros_like(a)
+    # Rotation part: J_proj @ (-hat(Xc)); translation part: J_proj itself.
+    Jc = jnp.stack(
         [
-            jnp.stack([fx * inv_z, zero, -fx * Xc[:, 0] * inv_z**2], -1),
-            jnp.stack([zero, fy * inv_z, -fy * Xc[:, 1] * inv_z**2], -1),
-        ],
-        axis=-2,
-    )
-    # Camera: left-composed se3 delta => d(Xc)/d(delta) = [-[Xc]x | I]
-    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (Xc.shape[0], 3, 3))
-    J_se3 = jnp.concatenate([-lie.hat(Xc), eye3], axis=-1)  # (O,3,6)
-    Jc = jnp.einsum("oij,ojk->oik", J_proj, J_se3)  # (O,2,6)
-    # Landmark: d(Xc)/d(Xw) = R_cw
-    Jp = jnp.einsum("oij,ojk->oik", J_proj, Rg)  # (O,2,3)
-    return r, Jc, Jp, w_irls
+            jnp.stack([b * y, a * z - b * x, -a * y, a, zero, b]),
+            jnp.stack([-c * z + d * y, -d * x, c * x, zero, c, d]),
+        ]
+    )  # (2,6,N)
+    J_proj = jnp.stack([jnp.stack([a, zero, b]), jnp.stack([zero, c, d])])
+    Jp = jnp.einsum("rcn,cjn->rjn", J_proj, Rg, precision=HI)  # (2,3,N)
+    return Jc, Jp
+
+
+def _scale_edge_terms(p: BAProblem):
+    """Closed-form scale-edge residuals and Jacobians.
+
+    r_e = ||t_rel|| - meas with t_rel = t_i - R_i R_j^T t_j. The rotational
+    derivative vanishes exactly (u^T [w]x t_rel = 0 for u || t_rel), so
+    J_i = [0_3, u], J_j = [0_3, -R_rel^T u] — no autodiff needed.
+    """
+    Ri, ti = p.R[p.se_i], p.t[p.se_i]
+    Rj, tj = p.R[p.se_j], p.t[p.se_j]
+    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
+    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
+    nrm = jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12)
+    r = nrm - p.se_meas
+    u = t_rel / nrm[:, None]
+    zeros = jnp.zeros_like(u)
+    Ji = jnp.concatenate([zeros, u], axis=-1)  # (E,6)
+    Jj = jnp.concatenate(
+        [zeros, -jnp.einsum("eab,ea->eb", R_rel, u)], axis=-1
+    )  # (E,6)
+    return r, Ji, Jj
 
 
 def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _cost(p: BAProblem, axis_name=None) -> jnp.ndarray:
-    """Robust (Huber) total cost (psum-reduced over observation shards)."""
-    r, _, _, _ = _residuals_and_jacobians(p)
-    rn2 = jnp.sum(r * r, axis=-1)
+def _cost(p: BAProblem, axis_name=None, C_T=None) -> jnp.ndarray:
+    """Robust (Huber) total cost (psum-reduced over landmark shards)."""
+    if C_T is None:
+        C_T = _onehot(p)
+    r, Xc, _, _, _ = _project_planar(p, C_T)
+    rn2 = jnp.sum(r * r, axis=0)
     rn = jnp.sqrt(rn2 + 1e-12)
-    rho = jnp.where(
-        rn <= HUBER_DELTA, rn2, 2.0 * HUBER_DELTA * rn - HUBER_DELTA**2
-    )
-    # Validity only — robustness is in rho itself.
-    zmask = _depth_mask(p)
+    rho = jnp.where(rn <= HUBER_DELTA, rn2, 2.0 * HUBER_DELTA * rn - HUBER_DELTA**2)
+    zmask = (Xc[2] > 1e-6).astype(p.w.dtype)
     cost_obs = _psum(jnp.sum(p.w * zmask * rho), axis_name)
-    # Scale edges (replicated, computed identically on every shard — no psum).
-    r_s = _scale_edge_residual(p.R, p.t, p.se_i, p.se_j, p.se_meas)
+    # Scale edges are replicated: identical on every shard, added after psum.
+    r_s, _, _ = _scale_edge_terms(p)
     return cost_obs + jnp.sum(p.se_w * r_s * r_s)
 
 
-def _depth_mask(p: BAProblem) -> jnp.ndarray:
-    Rg = p.R[p.cam]
-    tg = p.t[p.cam]
-    Xc = jnp.einsum("oij,oj->oi", Rg, p.X[p.pnt]) + tg
-    return (Xc[:, 2] > 1e-6).astype(p.w.dtype)
+def reproj_errors(p: BAProblem):
+    """Per-slot reprojection error norms and weights: (err (N,), w (N,))."""
+    C_T = _onehot(p)
+    r, _, _, _, _ = _project_planar(p, C_T)
+    return jnp.sqrt(jnp.sum(r * r, axis=0)), p.w
 
 
-def _build_blocks(p: BAProblem, lm_lambda, axis_name=None):
-    """Hessian blocks and gradients of the normal equations.
-
-    U (K,6,6), V (P,3,3) (damped), g_c (K,6), g_p (P,3), plus the
-    per-observation pieces needed for implicit Schur matvecs.
-    """
-    K = p.R.shape[0]
-    P = p.X.shape[0]
-    r, Jc, Jp, w = _residuals_and_jacobians(p)
-    # Weighted Jacobians (weight applied once — W J products use sqrt? No:
-    # all products below are J^T W J, so fold w into one side).
-    wJc = Jc * w[:, None, None]
-    wJp = Jp * w[:, None, None]
-    U = _seg_cam(jnp.einsum("oik,oil->okl", wJc, Jc), p, K)
-    V = _seg_pnt(jnp.einsum("oik,oil->okl", wJp, Jp), p, P)
-    g_c = _seg_cam(jnp.einsum("oik,oi->ok", wJc, r), p, K)
-    g_p = _seg_pnt(jnp.einsum("oik,oi->ok", wJp, r), p, P)
-    # Observation-sharded execution: each shard built partial blocks from its
-    # slice of the table; all-reduce them (the "psum of reduced camera
-    # systems" design, SURVEY.md §2.3).
-    U = _psum(U, axis_name)
-    V = _psum(V, axis_name)
-    g_c = _psum(g_c, axis_name)
-    g_p = _psum(g_p, axis_name)
-    # Scale-edge (pose-pose) contributions: diagonal blocks into U, cross
-    # blocks kept for the implicit matvec. Replicated — added after psum.
-    r_s, Ji, Jj = _scale_edge_jacobians(p)
-    wJi = Ji * p.se_w[:, None]
-    wJj = Jj * p.se_w[:, None]
-    U = U.at[p.se_i].add(jnp.einsum("ek,el->ekl", wJi, Ji))
-    U = U.at[p.se_j].add(jnp.einsum("ek,el->ekl", wJj, Jj))
-    H_ij = jnp.einsum("ek,el->ekl", wJi, Jj)  # (E,6,6) cross blocks
-    g_c = g_c.at[p.se_i].add(wJi * r_s[:, None])
-    g_c = g_c.at[p.se_j].add(wJj * r_s[:, None])
-    # LM damping (multiplicative on the diagonal, g2o-style).
-    eyeK = jnp.eye(6, dtype=r.dtype)
-    eyeP = jnp.eye(3, dtype=r.dtype)
-    U_d = U + lm_lambda * eyeK[None]
-    V_d = V + lm_lambda * eyeP[None]
-    return U_d, V_d, g_c, g_p, (r, Jc, Jp, w, H_ij)
-
-
-def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
-    """Zero the 6-blocks of fixed cameras (gauge fixing, ≙ vertex.set_fixed)."""
-    return x * (~cam_fixed)[:, None].astype(x.dtype)
-
-
-def _schur_matvec(x, U_d, V_inv, Jc, Jp, w, p, H_ij, axis_name=None):
-    cam, pnt, cam_fixed = p.cam, p.pnt, p.cam_fixed
-    se_i, se_j = p.se_i, p.se_j
-    """y = S x with S = U - W V^{-1} W^T applied implicitly.
-
-    W_ip = sum_obs Jc^T w Jp over observations of (cam i, point p); the
-    product is evaluated per observation and segment-summed — one pass over
-    the table, no S materialization.
-    """
-    x = _mask_cam(x, cam_fixed)
-    # U x: batched 6x6.
-    y = jnp.einsum("kij,kj->ki", U_d, x)
-    # a_o = (w Jp)^T Jc x_cam(o): (O,3)
-    Jc_x = jnp.einsum("oik,ok->oi", Jc, x[cam])  # (O,2)
-    a = jnp.einsum("oik,oi,o->ok", Jp, Jc_x, w)  # (O,3)
-    b = _psum(_seg_pnt(a, p, V_inv.shape[0]), axis_name)  # W^T x per point
-    c = jnp.einsum("pij,pj->pi", V_inv, b)  # V^{-1} W^T x
-    # d_o = Jc^T w Jp c_pnt(o): (O,6)
-    Jp_c = jnp.einsum("oik,ok->oi", Jp, c[pnt])  # (O,2)
-    d = jnp.einsum("oik,oi,o->ok", Jc, Jp_c, w)  # (O,6)
-    y = y - _psum(_seg_cam(d, p, y.shape[0]), axis_name)
-    # Scale-edge cross blocks (pose-pose coupling; replicated, no psum).
-    y = y.at[se_i].add(jnp.einsum("ekl,el->ek", H_ij, x[se_j]))
-    y = y.at[se_j].add(jnp.einsum("elk,el->ek", H_ij, x[se_i]))
-    return _mask_cam(y, cam_fixed)
-
-
-def _inv3(M: jnp.ndarray) -> jnp.ndarray:
-    """Batched closed-form 3x3 inverse (adjugate) — cheap on VPU."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+def _inv3_planar(V: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of (3,3,P) planar SPD blocks."""
+    a, b, c = V[0, 0], V[0, 1], V[0, 2]
+    d, e, f = V[1, 0], V[1, 1], V[1, 2]
+    g, h, i = V[2, 0], V[2, 1], V[2, 2]
     A = e * i - f * h
     B = c * h - b * i
     C = b * f - c * e
@@ -331,15 +286,108 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
     I = a * e - b * d
     det = a * A + b * D + c * G
     det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, B, C], -1),
-            jnp.stack([D, E, F], -1),
-            jnp.stack([G, H, I], -1),
-        ],
-        -2,
+    rows = jnp.stack(
+        [jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])]
     )
-    return adj / det[..., None, None]
+    return rows / det
+
+
+def _build_planar(p: BAProblem, lm_lambda, C_T, axis_name=None):
+    """All Hessian pieces in one pass over the slot planes.
+
+    Returns U (K,6,6) damped+psum-ed (scale edges folded in), V_inv (3,3,P)
+    local, g_c (K,6) psum-ed, g_p (3,P) local, W (6,3,K,P) local,
+    H_ij (E,6,6) scale-edge cross blocks, and the (Jc, Jp, w_irls) planes.
+    """
+    K = p.R.shape[0]
+    P = p.X.shape[0]
+    N = p.cam.shape[0]
+    Q = N // P
+    r, Xc, Rg, iz, w_irls = _project_planar(p, C_T)
+    Jc, Jp = _jacobians_planar(Xc, Rg, iz, p.intr)
+    wJc = Jc * w_irls
+    wJp = Jp * w_irls
+    UO = jnp.einsum("rin,rjn->ijn", wJc, Jc, precision=HI)  # (6,6,N)
+    U = jnp.einsum("ijn,kn->kij", UO, C_T, precision=HI)  # (K,6,6)
+    gcn = jnp.einsum("rin,rn->in", wJc, r, precision=HI)  # (6,N)
+    g_c = jnp.einsum("in,kn->ki", gcn, C_T, precision=HI)  # (K,6)
+    VO = jnp.einsum("rin,rjn->ijn", wJp, Jp, precision=HI)  # (3,3,N)
+    V = VO.reshape(3, 3, P, Q).sum(-1)  # (3,3,P)
+    g_p = (
+        jnp.einsum("rin,rn->in", wJp, r, precision=HI).reshape(3, P, Q).sum(-1)
+    )  # (3,P)
+    WO = jnp.einsum("rin,rjn->ijn", wJc, Jp, precision=HI)  # (6,3,N)
+    W = jnp.einsum(
+        "ijpq,kpq->ijkp", WO.reshape(6, 3, P, Q), C_T.reshape(K, P, Q),
+        precision=HI,
+    )  # (6,3,K,P)
+    U = _psum(U, axis_name)
+    g_c = _psum(g_c, axis_name)
+    # Scale-edge contributions (replicated; added after psum).
+    r_s, Ji, Jj = _scale_edge_terms(p)
+    wJi = Ji * p.se_w[:, None]
+    wJj = Jj * p.se_w[:, None]
+    U = U.at[p.se_i].add(jnp.einsum("ek,el->ekl", wJi, Ji))
+    U = U.at[p.se_j].add(jnp.einsum("ek,el->ekl", wJj, Jj))
+    H_ij = jnp.einsum("ek,el->ekl", wJi, Jj)  # (E,6,6)
+    g_c = g_c.at[p.se_i].add(wJi * r_s[:, None])
+    g_c = g_c.at[p.se_j].add(wJj * r_s[:, None])
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    U = U + lm_lambda * eye6[None]
+    V = V + lm_lambda * jnp.eye(3, dtype=V.dtype)[:, :, None]
+    V_inv = _inv3_planar(V)
+    return U, V_inv, g_c, g_p, W, H_ij, (Jc, Jp, w_irls)
+
+
+def _mask_cam(x: jnp.ndarray, cam_fixed: jnp.ndarray) -> jnp.ndarray:
+    """Zero the 6-blocks of fixed cameras (gauge fixing, ≙ vertex.set_fixed)."""
+    return x * (~cam_fixed)[:, None].astype(x.dtype)
+
+
+def _solve_chol(p, U, V_inv, g_c, g_p, W, H_ij, axis_name):
+    """Explicit reduced camera system + dense Cholesky (online path).
+
+    S = U - W V^{-1} W^T materializes as (K,6,K,6): fine up to K ~ 128.
+    """
+    K = U.shape[0]
+    Y = jnp.einsum("dcp,ackp->dakp", V_inv, W, precision=HI)  # (3,6,K,P)
+    S_red = jnp.einsum("ackp,cblp->kalb", W, Y, precision=HI)  # (K,6,K,6)
+    Vg = jnp.einsum("dcp,cp->dp", V_inv, g_p, precision=HI)  # (3,P)
+    b_sub = jnp.einsum("ackp,cp->ka", W, Vg, precision=HI)  # (K,6)
+    S_red = _psum(S_red, axis_name)
+    b_sub = _psum(b_sub, axis_name)
+    eyeK = jnp.eye(K, dtype=U.dtype)
+    S = U[:, :, None, :] * eyeK[:, None, :, None] - S_red
+    # Scale-edge cross blocks into S[i,:,j,:] (and transpose).
+    S = S.at[p.se_i, :, p.se_j, :].add(H_ij)
+    S = S.at[p.se_j, :, p.se_i, :].add(jnp.swapaxes(H_ij, -1, -2))
+    b = -(g_c - b_sub)
+    # Gauge: zero fixed cams' rows/cols, identity diagonal.
+    m = (~p.cam_fixed).astype(U.dtype)
+    S = S * m[:, None, None, None] * m[None, None, :, None]
+    fix = 1.0 - m
+    fix_blocks = fix[:, None, None] * jnp.eye(6, dtype=U.dtype)[None]  # (K,6,6)
+    S = S + fix_blocks[:, :, None, :] * eyeK[:, None, :, None]
+    b = b * m[:, None]
+    D = 6 * K
+    chol = jax.scipy.linalg.cho_factor(S.reshape(D, D), lower=True)
+    delta_c = jax.scipy.linalg.cho_solve(chol, b.reshape(D)).reshape(K, 6)
+    return _mask_cam(delta_c, p.cam_fixed)
+
+
+def _schur_matvec_planar(x, p, U, V_inv, W, H_ij, axis_name):
+    """y = S x applied implicitly (for solver="cg" at scales where S is
+    too large to materialize). One W contraction each way."""
+    x = _mask_cam(x, p.cam_fixed)
+    y = jnp.einsum("kij,kj->ki", U, x)
+    # W^T x is point-local under landmark sharding — no psum needed here.
+    bp = jnp.einsum("ackp,ka->cp", W, x, precision=HI)  # (3,P)
+    cp = jnp.einsum("dcp,cp->dp", V_inv, bp, precision=HI)
+    y2 = jnp.einsum("ackp,cp->ka", W, cp, precision=HI)
+    y = y - _psum(y2, axis_name)
+    y = y.at[p.se_i].add(jnp.einsum("ekl,el->ek", H_ij, x[p.se_j]))
+    y = y.at[p.se_j].add(jnp.einsum("elk,el->ek", H_ij, x[p.se_i]))
+    return _mask_cam(y, p.cam_fixed)
 
 
 def _inv6(M: jnp.ndarray) -> jnp.ndarray:
@@ -372,40 +420,41 @@ def _pcg(matvec, precond, b, n_iters: int):
     return x
 
 
-def _solve_delta(p: BAProblem, lm_lambda, cg_iters: int, points_fixed: bool, axis_name=None):
-    """One damped normal-equation solve: returns (delta_c (K,6), delta_p (P,3))."""
-    U_d, V_d, g_c, g_p, (r, Jc, Jp, w, H_ij) = _build_blocks(p, lm_lambda, axis_name)
-    g_c = _mask_cam(g_c, p.cam_fixed)
-
-    if points_fixed:
-        U_inv = _inv6(U_d)
-        delta_c = -jnp.einsum("kij,kj->ki", U_inv, g_c)
-        delta_c = _mask_cam(delta_c, p.cam_fixed)
-        return delta_c, jnp.zeros_like(p.X)
-
-    V_inv = _inv3(V_d)
-    # Reduced gradient: b = -(g_c - W V^{-1} g_p).
-    Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)  # (P,3)
-    Jp_vg = jnp.einsum("oik,ok->oi", Jp, Vg[p.pnt])  # (O,2)
-    Wvg = jnp.einsum("oik,oi,o->ok", Jc, Jp_vg, w)  # (O,6)
-    b = -(g_c - _psum(_seg_cam(Wvg, p, g_c.shape[0]), axis_name))
+def _solve_cg(p, U, V_inv, g_c, g_p, W, H_ij, cg_iters, axis_name):
+    Vg = jnp.einsum("dcp,cp->dp", V_inv, g_p, precision=HI)
+    b_sub = _psum(jnp.einsum("ackp,cp->ka", W, Vg, precision=HI), axis_name)
+    b = -(g_c - b_sub)
     b = _mask_cam(b, p.cam_fixed)
-
-    U_inv = _inv6(U_d)
+    U_inv = _inv6(U)
 
     def matvec(x):
-        return _schur_matvec(x, U_d, V_inv, Jc, Jp, w, p, H_ij, axis_name)
+        return _schur_matvec_planar(x, p, U, V_inv, W, H_ij, axis_name)
 
     def precond(x):
         return _mask_cam(jnp.einsum("kij,kj->ki", U_inv, x), p.cam_fixed)
 
-    delta_c = _pcg(matvec, precond, b, cg_iters)
+    return _pcg(matvec, precond, b, cg_iters)
+
+
+def _solve_delta(p: BAProblem, lm_lambda, cg_iters, points_fixed, C_T,
+                 axis_name=None, solver="chol"):
+    """One damped normal-equation solve: (delta_c (K,6), delta_p (P,3))."""
+    U, V_inv, g_c, g_p, W, H_ij, _ = _build_planar(p, lm_lambda, C_T, axis_name)
+    g_c = _mask_cam(g_c, p.cam_fixed)
+
+    if points_fixed:
+        U_inv = _inv6(U)
+        delta_c = -jnp.einsum("kij,kj->ki", U_inv, g_c)
+        return _mask_cam(delta_c, p.cam_fixed), jnp.zeros_like(p.X)
+
+    if solver == "chol":
+        delta_c = _solve_chol(p, U, V_inv, g_c, g_p, W, H_ij, axis_name)
+    else:
+        delta_c = _solve_cg(p, U, V_inv, g_c, g_p, W, H_ij, cg_iters, axis_name)
     # Back-substitute landmarks: delta_p = -V^{-1} (g_p + W^T delta_c).
-    Jc_dc = jnp.einsum("oik,ok->oi", Jc, delta_c[p.cam])  # (O,2)
-    Wt_dc = jnp.einsum("oik,oi,o->ok", Jp, Jc_dc, w)  # (O,3)
-    rhs = g_p + _psum(_seg_pnt(Wt_dc, p, g_p.shape[0]), axis_name)
-    delta_p = -jnp.einsum("pij,pj->pi", V_inv, rhs)
-    return delta_c, delta_p
+    back = jnp.einsum("ackp,ka->cp", W, delta_c, precision=HI)  # (3,P)
+    dp = -jnp.einsum("dcp,cp->dp", V_inv, g_p + back, precision=HI)
+    return delta_c, dp.T  # (P,3)
 
 
 def _apply(p: BAProblem, delta_c, delta_p) -> BAProblem:
@@ -416,48 +465,52 @@ def _apply(p: BAProblem, delta_c, delta_p) -> BAProblem:
 
 
 @partial(
-    jax.jit, static_argnames=("n_iters", "cg_iters", "points_fixed", "axis_name")
+    jax.jit,
+    static_argnames=("n_iters", "cg_iters", "points_fixed", "axis_name", "solver"),
 )
 def optimize(
     p: BAProblem,
     n_iters: int = 10,
-    cg_iters: int = 24,
+    cg_iters: int = 12,
     points_fixed: bool = False,
     init_lambda: float = 1e-4,
     axis_name: str | None = None,
+    solver: str = "chol",
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Levenberg-Marquardt loop (≙ optimizer.optimize(10), LocalBA.py:39-42).
 
     Accept/reject with multiplicative damping updates, all inside jit via
-    lax.cond on fixed iteration count. Returns (optimized problem, final cost).
+    lax.scan on a fixed iteration count. Returns (optimized problem, cost).
     """
+    C_T = _onehot(p)
 
     def step(carry, _):
         prob, lam, cost = carry
-        delta_c, delta_p = _solve_delta(prob, lam, cg_iters, points_fixed, axis_name)
-        cand = _apply(prob, delta_c, delta_p)
-        new_cost = _cost(cand, axis_name)
-        improved = new_cost < cost
-        prob = jax.tree.map(
-            lambda a, b: jnp.where(improved, a, b), cand, prob
+        delta_c, delta_p = _solve_delta(
+            prob, lam, cg_iters, points_fixed, C_T, axis_name, solver
         )
+        cand = _apply(prob, delta_c, delta_p)
+        new_cost = _cost(cand, axis_name, C_T)
+        improved = new_cost < cost
+        prob = jax.tree.map(lambda a, b: jnp.where(improved, a, b), cand, prob)
         cost = jnp.where(improved, new_cost, cost)
         lam = jnp.where(improved, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e2)
         return (prob, lam, cost), cost
 
-    cost0 = _cost(p, axis_name)
+    cost0 = _cost(p, axis_name, C_T)
     (p_out, _, cost_out), _ = jax.lax.scan(
         step, (p, jnp.asarray(init_lambda, p.R.dtype), cost0), None, length=n_iters
     )
     return p_out, cost_out
 
 
-def median_depth_normalize(p: BAProblem, point_valid: jnp.ndarray) -> BAProblem:
+def median_depth_normalize(p: BAProblem, point_valid=None) -> BAProblem:
     """Monocular gauge fix: divide translations and landmarks by the median
     landmark norm (≙ reference LocalBA.py:179-190)."""
+    if point_valid is None:
+        point_valid = p.pt_valid > 0
     norms = jnp.linalg.norm(p.X, axis=-1)
-    # Masked median: push invalid entries to +inf, take quantile of valid count.
     n_valid = jnp.maximum(jnp.sum(point_valid), 1)
     sorted_norms = jnp.sort(jnp.where(point_valid, norms, jnp.inf))
     med = sorted_norms[(n_valid - 1) // 2]

@@ -225,52 +225,47 @@ class SlamMap:
             self.kf_valid[se_i] & self.kf_valid[se_j]
         ).astype(np.float32) * scale_edge_weight
         se_meas = self.kf_scale_meas[1:K].astype(np.float32)
-        valid_obs = w > 0
-        # Size the per-point ELL width from the actual observation counts
-        # (a long-lived landmark on a full sequence can exceed any fixed
-        # cap — formerly a RuntimeError mid-run). Bucket to powers of two
-        # above 24 so the jitted BA step recompiles at most a few times per
-        # run (each recompile on this backend's remote compile service costs
-        # seconds to minutes).
-        counts = np.bincount(self.obs_pt[valid_obs], minlength=1)
-        need = int(counts.max()) if counts.size else 1
-        q = 24
-        while q < need:
-            q *= 2
-        cam_counts = np.bincount(self.obs_cam[valid_obs], minlength=1)
-        cam_need = int(cam_counts.max()) if cam_counts.size else 1
-        qc = self.config.track_capacity + 1024
-        while qc < cam_need:
-            qc *= 2
-        cam_obs, cam_ok, pt_obs, pt_ok = ba_mod.build_ell_tables(
-            self.obs_cam, self.obs_pt, valid_obs,
-            K, self.config.max_points,
-            max_per_cam=qc,
-            max_per_pnt=q,
+        # Planar packing: observations grouped by landmark into (P, Q)
+        # slots, landmarks compacted, P/Q bucketed to powers of two (each
+        # recompile on this backend's remote compile service costs seconds
+        # to minutes, so at most a few shape buckets per run). The mapping
+        # back to this map's indexing is kept in self.ba_meta.
+        prob, meta = ba_mod.make_problem(
+            R=self.kf_R,
+            t=self.kf_t,
+            X=self.pt_xyz,
+            cam=self.obs_cam,
+            pnt=self.obs_pt,
+            uv=self.obs_uv,
+            w=w,
+            intr=intr,
+            cam_fixed=cam_fixed,
+            se_i=se_i,
+            se_j=se_j,
+            se_meas=se_meas,
+            se_w=se_w,
         )
-        return ba_mod.make_problem(
-            R=jnp.asarray(self.kf_R),
-            t=jnp.asarray(self.kf_t),
-            X=jnp.asarray(self.pt_xyz),
-            cam=jnp.asarray(self.obs_cam),
-            pnt=jnp.asarray(self.obs_pt),
-            uv=jnp.asarray(self.obs_uv),
-            w=jnp.asarray(w),
-            intr=jnp.asarray(intr),
-            cam_fixed=jnp.asarray(cam_fixed),
-            se_i=jnp.asarray(se_i),
-            se_j=jnp.asarray(se_j),
-            se_meas=jnp.asarray(se_meas),
-            se_w=jnp.asarray(se_w),
-            cam_obs=jnp.asarray(cam_obs),
-            cam_obs_ok=jnp.asarray(cam_ok),
-            pt_obs=jnp.asarray(pt_obs),
-            pt_obs_ok=jnp.asarray(pt_ok),
-        )
+        self.ba_meta = meta
+        return prob
 
-    def update_from_ba(self, p: ba_mod.BAProblem) -> None:
+    def update_from_ba(self, p: ba_mod.BAProblem, meta=None) -> None:
         """Write back optimized poses/landmarks
         (≙ Map.UpdatePose/UpdatePoint3D, map.py:82-92)."""
         self.kf_R = np.array(p.R)
         self.kf_t = np.array(p.t)
-        self.pt_xyz = np.array(p.X)
+        if meta is None:
+            meta = self.ba_meta
+        real = meta.pt_ids >= 0
+        self.pt_xyz[meta.pt_ids[real]] = np.array(p.X)[real]
+
+    def prune_obs_from_ba(self, bad_slots: np.ndarray, meta=None) -> int:
+        """Invalidate map observations whose packed slot was flagged bad by
+        the BA step. Returns the number pruned."""
+        if meta is None:
+            meta = self.ba_meta
+        sel = bad_slots[: len(meta.slot_obs)] & (meta.slot_obs >= 0)
+        rows = meta.slot_obs[sel]
+        if len(rows) == 0:
+            return 0
+        self.obs_valid[rows] = False
+        return len(rows)

@@ -1,72 +1,63 @@
-"""Distributed bundle adjustment: observation-sharded Schur-CG over a mesh.
+"""Distributed bundle adjustment: landmark-sharded Schur elimination over a
+device mesh.
 
-The BASELINE.json north-star component: partition the observation table
-(equivalently, map-point blocks' measurement rows) across devices/hosts;
-each shard builds its partial normal-equation blocks and Schur-matvec
-contributions from its rows; `jax.lax.psum` over the mesh combines them
-into the replicated reduced camera system — collectives ride ICI within a
-slice, DCN across hosts. The math lives in models/ba.py (axis_name-aware);
-this module wraps it in shard_map over a Mesh.
+The BASELINE.json north-star component: partition the LANDMARK axis (and
+with it each landmark's observation slots — the planar (P, Q) layout keeps
+a point's measurements contiguous) across devices/hosts. Each shard builds
+its partial camera-side blocks (U, g_c, and the reduced camera system /
+Schur matvec contributions) from its own landmarks; `jax.lax.psum` over the
+mesh combines them — collectives ride ICI within a slice, DCN across
+hosts. The landmark side (V, g_p, delta_p) is embarrassingly local: it
+never crosses a shard boundary. The math lives in models/ba.py
+(axis_name-aware); this module wraps it in shard_map over a Mesh.
 
-Scaling semantics preserved from the reference: the result is numerically
-identical to single-device `ba.optimize` — sharding only changes where the
-segment-sums run (test_parallel.py asserts this).
+Scaling semantics preserved from the reference (LocalBA.py:68-77
+marginalized landmark blocks): the result is numerically identical to
+single-device `ba.optimize` — sharding only changes where the reductions
+run (test_parallel.py asserts this).
 """
 from __future__ import annotations
 
 from functools import partial
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models import ba as ba_mod
 
 
-def shard_problem(p: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAProblem:
-    """Pad the observation table so O divides the shard count (w=0 padding)."""
-    O = p.uv.shape[0]
-    target = ((O + n_shards - 1) // n_shards) * n_shards
-    if target == O:
-        return p
-    pad = target - O
-    return p._replace(
-        cam=jnp.concatenate([p.cam, jnp.zeros(pad, p.cam.dtype)]),
-        pnt=jnp.concatenate([p.pnt, jnp.zeros(pad, p.pnt.dtype)]),
-        uv=jnp.concatenate([p.uv, jnp.zeros((pad, 2), p.uv.dtype)]),
-        w=jnp.concatenate([p.w, jnp.zeros(pad, p.w.dtype)]),
-    )
-
-
 def optimize_sharded(
     p: ba_mod.BAProblem,
     mesh: Mesh,
     n_iters: int = 10,
-    cg_iters: int = 24,
+    cg_iters: int = 12,
     points_fixed: bool = False,
+    solver: str = "chol",
 ):
-    """Run LM-Schur-CG bundle adjustment with the observation table sharded
-    over `mesh` (axis name taken from the mesh's single axis)."""
+    """Run LM-Schur bundle adjustment with landmarks sharded over `mesh`
+    (axis name taken from the mesh's single axis).
+
+    The packed landmark count is a power of two >= 64 (ba.pack_planar), so
+    it divides any power-of-two mesh; no repadding is needed.
+    """
     (axis,) = mesh.axis_names
     n = mesh.devices.size
-    p = shard_problem(p, n)
+    if p.X.shape[0] % n:
+        raise ValueError(
+            f"landmark count {p.X.shape[0]} not divisible by mesh size {n}"
+        )
 
     rep = P()
-    obs = P(axis)
+    pts = P(axis)  # leading landmark axis
+    slots = P(None, axis)  # (2, N) planar pixel planes: shard axis 1
     in_specs = ba_mod.BAProblem(
-        R=rep, t=rep, X=rep, cam=obs, pnt=obs, uv=obs, w=obs, intr=rep,
-        cam_fixed=rep, se_i=rep, se_j=rep, se_meas=rep, se_w=rep,
+        R=rep, t=rep, X=pts, pt_valid=pts, cam=pts, uv=slots, w=pts,
+        intr=rep, cam_fixed=rep, se_i=rep, se_j=rep, se_meas=rep, se_w=rep,
     )
-    out_specs = (in_specs._replace(cam=obs, pnt=obs, uv=obs, w=obs), rep)
+    out_specs = (in_specs, rep)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(in_specs,),
-        out_specs=out_specs,
-    )
+    @partial(shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     def _run(prob):
         return ba_mod.optimize(
             prob,
@@ -74,6 +65,7 @@ def optimize_sharded(
             cg_iters=cg_iters,
             points_fixed=points_fixed,
             axis_name=axis,
+            solver=solver,
         )
 
     return _run(p)

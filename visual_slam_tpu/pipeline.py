@@ -83,9 +83,12 @@ def _track_step(
         refine_iters=refine_iters,
     )
     # Pack the scalars/pose the host needs every frame into ONE small array:
-    # each separate device->host fetch is a full tunnel round trip.
+    # each separate device->host fetch is a full tunnel round trip. R/t are
+    # ALSO returned as device arrays so the next frame's dispatch can seed
+    # its PnP from them without any host round trip (on-device pose
+    # threading — the key to running the loop at device rate).
     packed = jnp.concatenate([R.reshape(9), t, n_in[None].astype(R.dtype)])
-    return packed, inliers, idx2
+    return packed, R, t, inliers, idx2
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
@@ -219,14 +222,25 @@ def _ba_step(prob, n_iters: int, cg_iters: int):
     diag [cost_before, cost_after, blown_fraction], bad-observation mask)."""
     cost_before = ba_mod._cost(prob)
     out, cost_after = ba_mod.optimize(prob, n_iters=n_iters, cg_iters=cg_iters)
-    r, _, _, _ = ba_mod._residuals_and_jacobians(out)
-    err = jnp.sqrt(jnp.sum(r * r, -1))
-    w = out.w
+    err, w = ba_mod.reproj_errors(out)
     bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (w > 0)
     n_obs = jnp.maximum(jnp.sum(w), 1.0)
     blown = jnp.sum(bad.astype(w.dtype) * w) / n_obs
     diag = jnp.stack([cost_before, cost_after, blown])
     return out, diag, bad
+
+
+def _fetch_async(*arrays) -> None:
+    """Start device->host copies without blocking (no-op if unsupported).
+
+    On this environment's tunneled TPU a device fetch costs ~25 ms of
+    round-trip latency; a copy started at dispatch time completes in the
+    background, making the later np.asarray() a ~0.1 ms wait."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
 
 
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
@@ -268,6 +282,7 @@ class Slam:
         self._last_kf_mapped = None  # bool per feature slot: already a landmark
         self._prev_R = None
         self._prev_t = None
+        self._pose_dev = None  # device-side pose chain (see _dispatch_track)
         self._frames_since_kf = 0
         self._snap_epoch = 0  # bumped when keyframe insertion remaps the snapshot
         self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
@@ -302,14 +317,22 @@ class Slam:
         if cfg.use_depth and depth is not None:
             self._initialize_rgbd(frame_idx, feats, depth)
             return
+        h = self._dispatch_init(frame_idx, feats)
+        if h is not None:
+            self._consume_init(h)
+
+    def _dispatch_init(self, frame_idx, feats):
+        """Dispatch one two-view init attempt without fetching (pipelining
+        support — the init phase is otherwise one blocking ~25 ms tunnel
+        fetch per frame). Returns a handle, or None for the anchor frame."""
+        cfg = self.cfg
         if self._init_feats is None:
             self._init_feats = feats
             self._init_frame_idx = frame_idx
-            self._init_depth = depth
             self.trajectory.append(
                 FrameResult(frame_idx, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 0, True)
             )
-            return
+            return None
         f0, f1 = self._init_feats, feats
         scalars, idx2, R, t, X1, cheir = _init_step(
             f0.desc,
@@ -328,16 +351,29 @@ class Slam:
             model_selection=cfg.twoview.use_model_selection,
             cross_check=cfg.frontend.cross_check,
         )
-        scalars_np = np.asarray(scalars)  # ONE fetch for all three gates
+        _fetch_async(scalars, idx2, R, t, X1, cheir)
+        return dict(
+            frame_idx=frame_idx, feats=feats, scalars=scalars, idx2=idx2,
+            R=R, t=t, X=X1, cheir=cheir,
+        )
+
+    def _consume_init(self, h) -> bool:
+        """Gate + (on acceptance) build the initial map from a dispatched
+        init attempt. Returns True when the system becomes initialized."""
+        cfg = self.cfg
+        frame_idx, feats = h["frame_idx"], h["feats"]
+        f0 = self._init_feats
+        idx2, R, t, X1, cheir = h["idx2"], h["R"], h["t"], h["X"], h["cheir"]
+        scalars_np = np.asarray(h["scalars"])  # ONE fetch for all three gates
         n_matches = int(scalars_np[0])
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
-            return
+            return False
         if scalars_np[1] < cfg.twoview.min_valid_fraction:  # ≙ main.py:113-114
-            return
+            return False
         if scalars_np[2] < cfg.twoview.min_init_parallax_deg:
-            return
+            return False
         uv1 = f0.uv
-        uv2 = f1.uv[idx2]
+        uv2 = h["feats"].uv[idx2]
         # Accepted: frame0 = world origin keyframe, this frame = keyframe 1.
         R0 = np.eye(3, dtype=np.float32)
         t0 = np.zeros(3, np.float32)
@@ -348,7 +384,7 @@ class Slam:
         X_np = np.asarray(X1)  # cam0 == world frame
         sel = np.where(good_np)[0]
         idx2_np = np.asarray(idx2)
-        pt_ids = self.map.add_points(X_np[sel], np.asarray(f1.desc)[idx2_np[sel]])
+        pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
         self.map.add_observations(kf0, pt_ids, np.asarray(uv1)[sel])
         self.map.add_observations(kf1, pt_ids, np.asarray(uv2)[sel])
         # Mark mapped features of the new keyframe (for new-point mining).
@@ -361,21 +397,22 @@ class Slam:
         # after BA the surviving map must reproject tightly, else roll back
         # and keep searching for a better pair.
         prob = self.map.to_ba_problem(self.cfg.intrinsics)
-        r, _, _, _ = ba_mod._residuals_and_jacobians(prob)
-        w_np = np.asarray(prob.w)
-        err = np.sqrt(np.sum(np.asarray(r) ** 2, -1))
+        err_d, w_d = ba_mod.reproj_errors(prob)
+        w_np = np.asarray(w_d)
+        err = np.asarray(err_d)
         n_obs = max(float(w_np.sum()), 1.0)
         tight_frac = float(((err < 2.0) * w_np).sum() / n_obs)
         if tight_frac < 0.75 or n_obs < 2 * cfg.twoview.min_matches:
             self.map = SlamMap(self.cfg.map)  # rollback, retry next frames
             self.stats["init_rollbacks"] = self.stats.get("init_rollbacks", 0) + 1
-            return
+            return False
         self._finish_keyframe(kf1, feats, mapped, frame_idx)
         self.initialized = True
         self.stats["init_frame"] = frame_idx
         self.trajectory.append(
             FrameResult(frame_idx, self.map.kf_R[kf1], self.map.kf_t[kf1], n_matches, True)
         )
+        return True
 
     def _initialize_rgbd(self, frame_idx, feats, depth):
         """RGB-D initialization: backproject features through the metric
@@ -412,20 +449,32 @@ class Slam:
     def _dispatch_track(self, frame_idx, feats, depth):
         """Dispatch one tracking step without fetching (pipelining support).
 
+        The PnP seed pose comes from the previous dispatch's DEVICE output
+        (on-device pose threading): dispatching frame i+1 never waits for
+        frame i's result to reach the host, so an arbitrarily deep pipeline
+        of frames can be in flight while their ~25 ms tunnel fetches
+        complete in the background. The chain is reseeded from the host pose
+        after a tracking failure/relocalization.
+
         Returns a handle binding the frame to the snapshot its match indices
         refer to (the snapshot may be swapped by a keyframe before the
         handle is consumed)."""
         cfg = self.cfg
         snap = self._snapshot
-        packed, inliers, idx2 = _track_step(
+        if self._pose_dev is not None:
+            prev_R, prev_t = self._pose_dev
+        else:
+            prev_R = jnp.asarray(self._prev_R)
+            prev_t = jnp.asarray(self._prev_t)
+        packed, R_dev, t_dev, inliers, idx2 = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
             snap["desc"],
             snap["xyz"],
             snap["valid"],
-            jnp.asarray(self._prev_R),
-            jnp.asarray(self._prev_t),
+            prev_R,
+            prev_t,
             self.intr,
             self._next_key(),
             cfg.frontend.match_ratio,
@@ -435,10 +484,8 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
         )
-        try:
-            packed.copy_to_host_async()  # overlap the ~24 ms fetch latency
-        except AttributeError:
-            pass
+        self._pose_dev = (R_dev, t_dev)
+        _fetch_async(packed, inliers, idx2)  # overlap the ~25 ms fetch latency
         return dict(
             frame_idx=frame_idx,
             feats=feats,
@@ -468,6 +515,9 @@ class Slam:
             self.stats["track_failures"] = self.stats.get("track_failures", 0) + 1
             ok, R_np, t_np, _, _, n_tracked = self._relocalize(feats)
             relocalized = ok
+            # Reseed the device pose chain from the host pose: the threaded
+            # chain now carries the failed frame's garbage/fallback pose.
+            self._pose_dev = None
             if not ok:
                 R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
             else:
@@ -507,7 +557,7 @@ class Slam:
         """
         cfg = self.cfg
         snap = self.map.global_snapshot()
-        packed, inliers, idx2 = _track_step(
+        packed, _, _, inliers, idx2 = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
@@ -600,6 +650,7 @@ class Slam:
             cfg.keyframe.min_parallax_deg,
             cross_check=cfg.frontend.cross_check,
         )
+        _fetch_async(idx2, keep_dev, X)  # one ~25 ms wait instead of three
         idx2_np = np.asarray(idx2)
         keep = np.array(keep_dev)
         # Don't re-map features already matched to existing landmarks.
@@ -644,15 +695,29 @@ class Slam:
             out, diag, bad = _ba_step(
                 prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
             )
-        self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0)
+        # Start the result copies now: by apply time (a couple of frames
+        # later) they have landed and the apply's fetches are ~free. The
+        # packing meta is bound to the handle: slot->obs mapping must match
+        # the dispatched problem even if the map changes before apply.
+        _fetch_async(out.R, out.t, out.X, diag, bad)
+        self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0, self.map.ba_meta)
 
     def _apply_pending_ba(self, force: bool = False) -> None:
         if self._pending_ba is None:
             return
-        out, diag, bad, kf_id, scale_gauge, age = self._pending_ba
-        if not force and age < 2:  # let the solve finish in the background
-            self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1)
-            return
+        out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
+        if not force:
+            # Apply only once the device program has actually finished:
+            # blocking a pipelined loop on an unfinished BA stalls every
+            # frame in flight. A keyframe (force=True) still waits — the
+            # mining step needs the optimized map.
+            try:
+                ready = diag.is_ready()
+            except AttributeError:
+                ready = age >= 2
+            if not ready:
+                self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1, meta)
+                return
         self._pending_ba = None
         with self.timers.time("bundle_adjust"):
             diag_np = np.asarray(diag)
@@ -672,9 +737,9 @@ class Slam:
         prob = out
         gauge_changed = False
         if scale_gauge:
-            prob = ba_mod.median_depth_normalize(prob, jnp.asarray(self.map.pt_valid))
+            prob = ba_mod.median_depth_normalize(prob)
             gauge_changed = True
-        self.map.update_from_ba(prob)
+        self.map.update_from_ba(prob, meta)
         if gauge_changed:
             self.map.refresh_scale_meas()
         # Prune observations the optimized map cannot explain (reproj error
@@ -682,8 +747,8 @@ class Slam:
         # permanent).
         bad_np = np.asarray(bad)
         if bad_np.any():
-            self.map.obs_valid &= ~bad_np[: len(self.map.obs_valid)]
-            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + int(bad_np.sum())
+            n = self.map.prune_obs_from_ba(bad_np, meta)
+            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + n
         self.stats["ba_runs"] += 1
         # The optimized landmarks replace the tracking snapshot (pose
         # continuity kept: the tracker's prev pose is not rewritten). The
@@ -773,6 +838,53 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
     return cfg
 
 
+def run_pipelined(slam: "Slam", frame_iter, pipeline_depth: int = 6):
+    """Drive a Slam over (frame_idx, device_image_or_feats, depth) tuples with
+    a `pipeline_depth`-deep in-flight window.
+
+    Every frame's device work is dispatched with on-device pose threading
+    (no host fetch on the dispatch path); its ~25 ms tunnel fetch completes
+    in the background and is consumed `pipeline_depth` frames later at ~0
+    cost. Keyframe/failure logic therefore runs `pipeline_depth` frames
+    late; snapshot-epoch binding keeps stale frames from corrupting the map
+    (see _consume_track). The same window is applied to the init phase.
+    """
+    from collections import deque
+
+    cfg = slam.cfg
+    pending: deque = deque()
+    init_pending: deque = deque()
+    for i, img, depth in frame_iter:
+        feats = (
+            img
+            if isinstance(img, frontend.Features)
+            else frontend.extract(
+                jnp.asarray(img), cfg.frontend.max_features,
+                cfg.frontend.quality_level, cfg.frontend.nms_radius,
+            )
+        )
+        if not slam.initialized:
+            h = slam._dispatch_init(i, feats)
+            if h is not None:
+                init_pending.append(h)
+            while len(init_pending) > pipeline_depth:
+                if slam._consume_init(init_pending.popleft()):
+                    init_pending.clear()
+                    break
+        else:
+            init_pending.clear()  # drop superseded init attempts
+            slam._apply_pending_ba()
+            pending.append(slam._dispatch_track(i, feats, depth))
+            if len(pending) > pipeline_depth:
+                slam._consume_track(pending.popleft())
+    while init_pending:
+        if slam._consume_init(init_pending.popleft()):
+            break
+    while pending:
+        slam._consume_track(pending.popleft())
+    return slam
+
+
 def run_sequence(
     dataset,
     config: SlamConfig | None = None,
@@ -780,42 +892,21 @@ def run_sequence(
     stop=None,
     verbose=False,
     pipelined: bool = False,
+    pipeline_depth: int = 6,
 ):
     """Run SLAM over a dataset; returns the Slam object. When no config is
     given, map capacities are sized to the frame range.
 
-    pipelined=True overlaps each frame's device work with the previous
-    frame's host-side consume (the tracking fetch costs ~25 ms of tunnel
-    latency on this environment): frame i is dispatched with a one-frame-
-    stale pose guess, and its keyframe logic runs one frame late. Keyframe
-    snapshot consistency is kept by binding each in-flight frame to the
-    snapshot its match indices refer to.
+    pipelined=True runs the deep software pipeline (see run_pipelined):
+    device work for up to `pipeline_depth` frames stays in flight while
+    their result fetches complete in the background.
     """
     if config is None:
         n = (stop if stop is not None else len(dataset)) - start
         config = size_config_for(n)
     slam = Slam(config)
     if pipelined:
-        pending = None
-        for i, gray, depth in dataset.frames(start, stop):
-            feats = frontend.extract(
-                jnp.asarray(gray), config.frontend.max_features,
-                config.frontend.quality_level, config.frontend.nms_radius,
-            )
-            if not slam.initialized:
-                if pending is not None:
-                    slam._consume_track(pending)
-                    pending = None
-                slam._try_initialize(i, feats, depth)
-            else:
-                slam._apply_pending_ba()
-                h = slam._dispatch_track(i, feats, depth)
-                if pending is not None:
-                    slam._consume_track(pending)
-                pending = h
-        if pending is not None:
-            slam._consume_track(pending)
-        return slam
+        return run_pipelined(slam, dataset.frames(start, stop), pipeline_depth)
     for i, gray, depth in dataset.frames(start, stop):
         slam.process(i, gray, depth)
         if verbose and i % 25 == 0:
