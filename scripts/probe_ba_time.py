@@ -1,4 +1,4 @@
-"""Measure the BA solve's actual device time (and the fetch-poll penalty)."""
+"""Measure the BA solve's actual device time (planar engine) on the TPU."""
 import os
 import sys
 import time
@@ -17,7 +17,7 @@ def main():
     from visual_slam_tpu.config import SlamConfig
     from visual_slam_tpu.pipeline import Slam, _ba_step
     from visual_slam_tpu.utils.dataset import ICLNUIMDataset
-    from visual_slam_tpu import native
+    from visual_slam_tpu.models import ba as ba_mod
 
     N = 140
     ds = ICLNUIMDataset("/root/reference/data/ICL_NUIM")
@@ -29,11 +29,11 @@ def main():
     slam = Slam(cfg)
     for i in range(N):
         slam.process(i, frames[i])
-    print("keyframes:", slam.stats["keyframes"], "points:", int(slam.map.pt_valid.sum()))
+    print("keyframes:", slam.stats["keyframes"], "points:", int(slam.map.pt_valid.sum()), flush=True)
 
     prob = slam.map.to_ba_problem(slam.cfg.intrinsics)
-    print("shapes: obs", prob.cam.shape, "cam_obs", prob.cam_obs.shape,
-          "pt_obs", prob.pt_obs.shape)
+    print("planar shapes: P", prob.X.shape[0], "N", prob.cam.shape[0],
+          "Q", prob.cam.shape[0] // prob.X.shape[0], flush=True)
 
     out, diag, bad = _ba_step(prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters)
     jax.block_until_ready(diag)  # warm
@@ -42,27 +42,30 @@ def main():
         t0 = time.perf_counter()
         out, diag, bad = _ba_step(prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters)
         jax.block_until_ready(diag)
-        print(f"BA solve wall (dispatch+device+sync): {(time.perf_counter()-t0)*1000:.1f} ms")
+        print(f"BA 10-iter wall (dispatch+device+sync): {(time.perf_counter()-t0)*1000:.1f} ms", flush=True)
 
-    # poll penalty: fetch right after dispatch
+    # Amortized: 5 solves back-to-back, one sync.
     t0 = time.perf_counter()
-    out, diag, bad = _ba_step(prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters)
-    np.asarray(diag)
-    print(f"immediate fetch after dispatch: {(time.perf_counter()-t0)*1000:.1f} ms")
+    for _ in range(5):
+        out, diag, bad = _ba_step(prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters)
+    jax.block_until_ready(diag)
+    print(f"BA 10-iter amortized over 5 dispatches: {(time.perf_counter()-t0)*1000/5:.1f} ms", flush=True)
 
-    # is_ready availability
-    out, diag, bad = _ba_step(prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters)
-    print("has is_ready:", hasattr(diag, "is_ready"))
-    if hasattr(diag, "is_ready"):
+    # CG path comparison at this scale.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n_iters", "cg_iters", "solver"))
+    def opt(p, n_iters, cg_iters, solver):
+        return ba_mod.optimize(p, n_iters=n_iters, cg_iters=cg_iters, solver=solver)
+
+    for solver in ("chol", "cg"):
+        o = opt(prob, 10, 12, solver)
+        jax.block_until_ready(o[1])
         t0 = time.perf_counter()
-        r = diag.is_ready()
-        print(f"is_ready() -> {r} in {(time.perf_counter()-t0)*1000:.2f} ms")
-        while not diag.is_ready():
-            time.sleep(0.005)
-        print(f"became ready after {(time.perf_counter()-t0)*1000:.1f} ms")
-        t0 = time.perf_counter()
-        np.asarray(diag)
-        print(f"fetch after ready: {(time.perf_counter()-t0)*1000:.2f} ms")
+        for _ in range(3):
+            o = opt(prob, 10, 12, solver)
+        jax.block_until_ready(o[1])
+        print(f"optimize 10 iters solver={solver}: {(time.perf_counter()-t0)*1000/3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

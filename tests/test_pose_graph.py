@@ -94,3 +94,101 @@ def test_g2o_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(R_wc, R_gt[k].T, atol=1e-6)
         np.testing.assert_allclose(t_wc, -R_gt[k].T @ t_gt[k], atol=1e-6)
     np.testing.assert_allclose(points[K + 0], pts[0], atol=1e-6)
+
+
+def test_analytic_matches_dense_oracle(rng):
+    """The analytic-Jacobian CG solver must match the jacfwd dense solver."""
+    K = 10
+    R_gt, t_gt, R0, t0 = make_chain(rng, K)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )._replace(R=jnp.asarray(R0), t=jnp.asarray(t0))
+    R_a, t_a, _ = pose_graph.optimize(g, n_iters=10, cg_iters=60, use_dcs=False)
+    R_d, t_d, _ = pose_graph.optimize_dense(g, n_iters=10)
+    np.testing.assert_allclose(np.asarray(R_a), np.asarray(R_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_d), atol=1e-3)
+
+
+def test_loop_edge_corrects_drift(rng):
+    """A verified loop edge pulls an accumulated-drift chain back toward GT
+    (config #2 loop-closure semantics)."""
+    K = 30
+    R_gt, t_gt, _, _ = make_chain(rng, K, drift=0.0)
+    # Simulate accumulated odometry drift: progressively rotate/translate.
+    R0, t0 = R_gt.copy(), t_gt.copy()
+    for k in range(1, K):
+        a = 0.004 * k
+        dR = np.asarray(lie.so3_exp(jnp.asarray([0.0, a, 0.0], dtype=jnp.float32)))
+        R0[k] = dR @ R_gt[k]
+        t0[k] = t_gt[k] + np.array([0.01 * k, 0, 0.008 * k], np.float32)
+    # Chain edges measured from the DRIFTED poses (odometry is consistent
+    # with itself); one loop edge carries the TRUE relative pose K-1 <-> 0.
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.ones(K, bool)
+    )
+    Z_R, Z_t = pose_graph._rel(jnp.asarray(R_gt), jnp.asarray(t_gt),
+                               np.array([0]), np.array([K - 1]))
+    g = pose_graph.add_edges(g, [0], [K - 1], Z_R, Z_t, [50.0])
+    R_out, t_out, _ = pose_graph.optimize(g, n_iters=25, cg_iters=60)
+    # End-of-chain error shrinks by a large factor.
+    err0 = np.linalg.norm(t0[-1] - t_gt[-1])
+    err1 = np.linalg.norm(np.asarray(t_out[-1]) - t_gt[-1])
+    assert err1 < 0.35 * err0
+
+
+def test_dcs_rejects_bad_loop_edge(rng):
+    """A grossly wrong loop edge must NOT warp the graph when DCS is on
+    (≙ RobustKernelDCS on EdgeSE3, LocalBA.py:97-113)."""
+    K = 12
+    R_gt, t_gt, _, _ = make_chain(rng, K, drift=0.0)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )
+    # Bogus loop edge claiming keyframe K-1 sits 5m from keyframe 0.
+    bad_R = np.eye(3, dtype=np.float32)[None]
+    bad_t = np.array([[5.0, 0.0, 0.0]], np.float32)
+    g_bad = pose_graph.add_edges(g, [0], [K - 1], bad_R, bad_t, [10.0])
+    R_out, t_out, _ = pose_graph.optimize(g_bad, n_iters=15, use_dcs=True)
+    np.testing.assert_allclose(np.asarray(t_out), t_gt, atol=0.05)
+    # Sanity: without DCS the same edge DOES warp the chain.
+    R_w, t_w, _ = pose_graph.optimize(g_bad, n_iters=15, use_dcs=False)
+    assert np.abs(np.asarray(t_w) - t_gt).max() > 0.2
+
+
+def test_pose_graph_scales_to_5k(rng):
+    """5000-keyframe chain + loop edges solved in seconds on CPU
+    (VERDICT round-1 item #3 done-criterion)."""
+    import time
+
+    K = 5000
+    rs = np.random.default_rng(3)
+    R_gt = [np.eye(3, dtype=np.float32)]
+    t_gt = [np.zeros(3, np.float32)]
+    for k in range(1, K):
+        w = rs.normal(scale=0.02, size=3).astype(np.float32)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        R_gt.append((dR @ R_gt[-1]).astype(np.float32))
+        t_gt.append((dR @ t_gt[-1] + rs.normal(scale=0.1, size=3)).astype(np.float32))
+    R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+    R0, t0 = R_gt.copy(), t_gt.copy()
+    for k in range(1, K):
+        dw = rs.normal(scale=0.02, size=3).astype(np.float32)
+        R0[k] = np.asarray(lie.so3_exp(jnp.asarray(dw))) @ R_gt[k]
+        t0[k] = t_gt[k] + rs.normal(scale=0.02, size=3).astype(np.float32)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )._replace(R=jnp.asarray(R0), t=jnp.asarray(t0))
+    # A handful of long-range loop edges.
+    li = np.arange(0, K - 1000, 500)
+    lj = li + 1000
+    Z_R, Z_t = pose_graph._rel(jnp.asarray(R_gt), jnp.asarray(t_gt), li, lj)
+    g = pose_graph.add_edges(g, li, lj, Z_R, Z_t, np.full(len(li), 5.0))
+    R_out, t_out, cost = pose_graph.optimize(g, n_iters=8, cg_iters=40)
+    np.asarray(t_out)  # materialize (compile + run)
+    t0_ = time.perf_counter()
+    R_out, t_out, cost = pose_graph.optimize(g, n_iters=8, cg_iters=40)
+    np.asarray(t_out)
+    dt = time.perf_counter() - t0_
+    assert dt < 5.0, f"5k-keyframe solve took {dt:.1f}s"
+    err = np.abs(np.asarray(t_out) - t_gt).max()
+    assert err < 0.05, f"max translation error {err:.3f}"

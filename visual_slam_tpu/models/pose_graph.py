@@ -5,18 +5,24 @@ TPU-native replacement for the reference's g2o pose-graph pieces:
 `add_edge_between_poses` (EdgeSE3 with DCS robust kernel, LocalBA.py:97-113)
 and `AddScalingEdge` (EdgeSBAScale measuring the relative-translation norm,
 LocalBA.py:115-131), used to stabilize monocular scale across the keyframe
-chain — the scale-drift correction mode of BASELINE.json config #4.
+chain — the scale-drift correction mode of BASELINE.json config #4 — and to
+absorb loop-closure edges (config #2).
 
 Residuals:
-  SE3 edge (i,j) with measurement Z_ij (j-from-i):  r = log(Z_ij^{-1} T_i T_j^{-1})
-    for world->camera poses T: T_i T_j^{-1} maps cam-j coords to cam-i.
-  Scale edge (i,j) with measurement s_ij:           r = ||t of (T_i T_j^{-1})|| - s_ij
+  SE3 edge (i,j) with measurement Z_ij (j-from-i):  r = [vee(Z^T R_rel -
+    R_rel^T Z)/2, Z^T (t_rel - Z_t)] for world->camera poses T, where
+    (R_rel, t_rel) = T_i T_j^{-1}. The chordal rotation residual is zero
+    exactly where so3_log is, agrees to first order, and stays smooth at
+    the identity where log's derivative blows up.
+  Scale edge (i,j) with measurement s_ij:  r = ||t_rel|| - s_ij
 
-All edges are processed as one batched table (edge_i, edge_j, Z, w); the
-Jacobians come from jax.jacfwd on the per-edge residual, and the normal
-equations assemble with segment-sums — the same fixed-shape pattern as
-models/ba.py. The solve is a dense 6K Cholesky (keyframe counts are small;
-a CG variant drops in for large graphs).
+Two solvers:
+  * optimize(...)        — analytic per-edge 6x6 Jacobian blocks,
+    block-sparse normal equations (scatter-assembled), block-Jacobi
+    preconditioned CG, and a DCS robust kernel (≙ RobustKernelDCS,
+    LocalBA.py:97). Scales to thousands of keyframes.
+  * optimize_dense(...)  — the original jacfwd + dense 6Kx6K solve; kept as
+    the small-graph oracle (tests assert the analytic path matches it).
 """
 from __future__ import annotations
 
@@ -25,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import lie
 
@@ -44,6 +51,16 @@ class PoseGraph(NamedTuple):
     fixed: jnp.ndarray  # (K,) bool
 
 
+# so3 generators: G[k] = d[w]x/dw_k.
+_GEN = np.zeros((3, 3, 3), np.float32)
+_GEN[0, 2, 1] = 1.0
+_GEN[0, 1, 2] = -1.0
+_GEN[1, 0, 2] = 1.0
+_GEN[1, 2, 0] = -1.0
+_GEN[2, 1, 0] = 1.0
+_GEN[2, 0, 1] = -1.0
+
+
 def _rel(R, t, i, j):
     """T_i T_j^{-1}: (R_rel, t_rel) mapping cam-j coords into cam-i."""
     Ri, ti = R[i], t[i]
@@ -57,10 +74,6 @@ def _se3_residual(g: PoseGraph, R, t):
     R_rel, t_rel = _rel(R, t, g.e_i, g.e_j)
     dR = jnp.einsum("eji,ejk->eik", g.Z_R, R_rel)  # Z^T @ R_rel
     dt = jnp.einsum("eji,ej->ei", g.Z_R, t_rel - g.Z_t)
-    # Chordal rotation residual vee(dR - dR^T)/2 instead of so3_log: it is
-    # zero exactly where log is, agrees to first order, and — unlike log,
-    # whose arccos derivative blows up at the identity — stays smooth under
-    # jacfwd right where converged edges live.
     r_rot = lie.vee(dR - jnp.swapaxes(dR, -1, -2)) * 0.5
     return jnp.concatenate([r_rot, dt], axis=-1)  # (E,6)
 
@@ -72,24 +85,189 @@ def _scale_residual(g: PoseGraph, R, t):
     return jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12) - g.s_meas  # (S,)
 
 
+def _se3_edge_blocks(g: PoseGraph, R, t):
+    """Analytic per-edge residuals and Jacobian blocks.
+
+    For left-composed se3 deltas (w, dt) on each pose:
+      d t_rel = [w_i]x t_rel + dt_i - R_rel dt_j          (w_j cancels)
+      d R_rel = [w_i]x R_rel - R_rel [w_j]x
+    giving closed-form 6x6 blocks J_i, J_j per edge — no autodiff.
+    Returns r (E,6), J_i (E,6,6), J_j (E,6,6).
+    """
+    R_rel, t_rel = _rel(R, t, g.e_i, g.e_j)
+    Zt = jnp.swapaxes(g.Z_R, -1, -2)  # (E,3,3) Z^T
+    dRm = jnp.einsum("eab,ebc->eac", Zt, R_rel)  # Z^T R_rel
+    r_rot = lie.vee(dRm - jnp.swapaxes(dRm, -1, -2)) * 0.5
+    r_t = jnp.einsum("eab,eb->ea", Zt, t_rel - g.Z_t)
+    r = jnp.concatenate([r_rot, r_t], axis=-1)  # (E,6)
+
+    G = jnp.asarray(_GEN, R.dtype)
+    # L_i[:, k] = vee(Z^T G_k R_rel + R_rel^T G_k Z) / 2
+    Rt = jnp.swapaxes(R_rel, -1, -2)
+    A1 = jnp.einsum("eab,kbc,ecd->ekad", Zt, G, R_rel)
+    A2 = jnp.einsum("eab,kbc,ecd->ekad", Rt, G, g.Z_R)
+    L_i = jnp.swapaxes(lie.vee(A1 + A2) * 0.5, -1, -2)  # (E,3,3): rows=res
+    # L_j[:, k] = -vee(Z^T R_rel G_k + G_k R_rel^T Z) / 2
+    B1 = jnp.einsum("eab,kbc->ekac", dRm, G)
+    B2 = jnp.einsum("kab,ebc->ekac", G, jnp.einsum("eab,ebc->eac", Rt, g.Z_R))
+    L_j = jnp.swapaxes(lie.vee(B1 + B2) * -0.5, -1, -2)
+
+    # d r_t / d w_i = Z^T [w]x t_rel => column k is Z^T (G_k t_rel).
+    Jt_wi = jnp.einsum("eab,kbc,ec->eak", Zt, G, t_rel)  # (E,3,3)
+    zero3 = jnp.zeros_like(L_i)
+    J_i = jnp.concatenate(
+        [
+            jnp.concatenate([L_i, zero3], axis=-1),  # rot rows
+            jnp.concatenate([Jt_wi, Zt], axis=-1),  # trans rows
+        ],
+        axis=-2,
+    )  # (E,6,6)
+    ZtR = dRm  # Z^T R_rel
+    J_j = jnp.concatenate(
+        [
+            jnp.concatenate([L_j, zero3], axis=-1),
+            jnp.concatenate([zero3, -ZtR], axis=-1),
+        ],
+        axis=-2,
+    )  # (E,6,6)
+    return r, J_i, J_j
+
+
+def _scale_edge_blocks(g: PoseGraph, R, t):
+    """Closed-form scale-edge residual + Jacobians (see models/ba.py:
+    the rotational derivative vanishes exactly)."""
+    R_rel, t_rel = _rel(R, t, g.s_i, g.s_j)
+    nrm = jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12)
+    r = nrm - g.s_meas
+    u = t_rel / nrm[:, None]
+    zeros = jnp.zeros_like(u)
+    Ji = jnp.concatenate([zeros, u], axis=-1)  # (S,6)
+    Jj = jnp.concatenate(
+        [zeros, -jnp.einsum("eab,ea->eb", R_rel, u)], axis=-1
+    )  # (S,6)
+    return r, Ji, Jj
+
+
+def _dcs_weight(chi2, phi):
+    """Dynamic Covariance Scaling (Agarwal et al. 2013): s = min(1,
+    2*phi/(phi+chi2)); the IRLS information scale is s^2. Keeps good edges
+    at full weight and smoothly anneals gross outliers (bad loop edges)."""
+    s = jnp.minimum(1.0, 2.0 * phi / (phi + chi2))
+    return s * s
+
+
+def _apply_delta(R, t, delta):
+    dR, dt = lie.se3_exp(delta)
+    return dR @ R, jnp.einsum("kij,kj->ki", dR, t) + dt
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_dcs"))
+def optimize(
+    g: PoseGraph,
+    n_iters: int = 12,
+    cg_iters: int = 32,
+    damping: float = 1e-5,
+    dcs_phi: float = 1.0,
+    use_dcs: bool = True,
+):
+    """Scalable pose-graph Gauss-Newton: analytic Jacobian blocks +
+    block-Jacobi-preconditioned CG on the 6K normal system, with a DCS
+    robust kernel on the SE3 edges. Returns (R, t, final cost)."""
+    K = g.R.shape[0]
+    free = (~g.fixed).astype(g.R.dtype)
+
+    def step(carry, _):
+        R, t = carry
+        r, J_i, J_j = _se3_edge_blocks(g, R, t)
+        chi2 = g.w * jnp.sum(r * r, axis=-1)
+        w_e = g.w * (_dcs_weight(chi2, dcs_phi) if use_dcs else 1.0)
+        rs, Si, Sj = _scale_edge_blocks(g, R, t)
+
+        wJi = J_i * w_e[:, None, None]
+        wJj = J_j * w_e[:, None, None]
+        H_ii = jnp.einsum("eri,erj->eij", wJi, J_i)  # (E,6,6)
+        H_jj = jnp.einsum("eri,erj->eij", wJj, J_j)
+        H_ij = jnp.einsum("eri,erj->eij", wJi, J_j)
+        g_i = jnp.einsum("eri,er->ei", wJi, r)
+        g_j = jnp.einsum("eri,er->ei", wJj, r)
+        wSi = Si * g.s_w[:, None]
+        wSj = Sj * g.s_w[:, None]
+
+        # Block-diagonal accumulation (scatter-add; E-sized, runs where the
+        # pose graph runs — host CPU for big graphs, TPU for small ones).
+        D = jnp.zeros((K, 6, 6), R.dtype)
+        D = D.at[g.e_i].add(H_ii).at[g.e_j].add(H_jj)
+        D = D.at[g.s_i].add(jnp.einsum("ei,ej->eij", wSi, Si))
+        D = D.at[g.s_j].add(jnp.einsum("ei,ej->eij", wSj, Sj))
+        D = D + damping * jnp.eye(6, dtype=R.dtype)[None]
+        grad = jnp.zeros((K, 6), R.dtype)
+        grad = grad.at[g.e_i].add(g_i).at[g.e_j].add(g_j)
+        grad = grad.at[g.s_i].add(wSi * rs[:, None])
+        grad = grad.at[g.s_j].add(wSj * rs[:, None])
+        grad = grad * free[:, None]
+
+        Hs_ij = jnp.einsum("ei,ej->eij", wSi, Sj)  # scale cross blocks
+
+        D_inv = jnp.linalg.solve(
+            D, jnp.broadcast_to(jnp.eye(6, dtype=R.dtype), D.shape)
+        )
+
+        def matvec(x):
+            x = x * free[:, None]
+            y = jnp.einsum("kij,kj->ki", D, x)
+            xi = x[g.e_i]
+            xj = x[g.e_j]
+            y = y.at[g.e_i].add(jnp.einsum("eij,ej->ei", H_ij, xj))
+            y = y.at[g.e_j].add(jnp.einsum("eji,ej->ei", H_ij, xi))
+            y = y.at[g.s_i].add(jnp.einsum("eij,ej->ei", Hs_ij, x[g.s_j]))
+            y = y.at[g.s_j].add(jnp.einsum("eji,ej->ei", Hs_ij, x[g.s_i]))
+            return y * free[:, None]
+
+        def precond(x):
+            return jnp.einsum("kij,kj->ki", D_inv, x) * free[:, None]
+
+        # PCG on the 6K system.
+        b = -grad
+        x = jnp.zeros_like(b)
+        rr = b
+        z = precond(rr)
+        p = z
+
+        def cg_body(c, _):
+            x, rr, z, p = c
+            Ap = matvec(p)
+            rz = jnp.sum(rr * z)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+            x = x + alpha * p
+            r_new = rr - alpha * Ap
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+            return (x, r_new, z_new, z_new + beta * p), None
+
+        (delta, _, _, _), _ = jax.lax.scan(
+            cg_body, (x, rr, z, p), None, length=cg_iters
+        )
+        delta = delta * free[:, None]
+        R_new, t_new = _apply_delta(R, t, delta)
+        cost = jnp.sum(w_e * jnp.sum(r * r, -1)) + jnp.sum(g.s_w * rs * rs)
+        return (R_new, t_new), cost
+
+    (R_out, t_out), costs = jax.lax.scan(step, (g.R, g.t), None, length=n_iters)
+    return R_out, t_out, costs[-1]
+
+
 def _total_residuals(g: PoseGraph, delta):
     """Residual vector as a function of per-pose se3 deltas (K,6)."""
-    dR, dt = lie.se3_exp(delta)
-    R = dR @ g.R
-    t = jnp.einsum("kij,kj->ki", dR, g.t) + dt
+    R, t = _apply_delta(g.R, g.t, delta)
     r_se3 = _se3_residual(g, R, t) * jnp.sqrt(g.w)[:, None]
     r_s = _scale_residual(g, R, t) * jnp.sqrt(g.s_w)
     return jnp.concatenate([r_se3.reshape(-1), r_s])
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
-def optimize(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6):
-    """Gauss-Newton pose-graph solve. Returns updated (R, t) and final cost.
-
-    The Jacobian of the full (6E+S,) residual w.r.t. the (K,6) deltas is
-    formed with jacfwd — the graph is keyframe-sized, so the dense J and the
-    6K x 6K normal system are small; XLA maps the solve onto the MXU.
-    """
+def optimize_dense(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6):
+    """Dense jacfwd Gauss-Newton (small-graph oracle for optimize)."""
     K = g.R.shape[0]
     free = (~g.fixed).astype(g.R.dtype)
 
@@ -102,15 +280,12 @@ def optimize(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6):
         d0 = jnp.zeros(K * 6, g.R.dtype)
         r = res_fn(d0)
         J = jax.jacfwd(res_fn)(d0)  # (R, 6K)
-        # Project out fixed poses.
         mask = jnp.repeat(free, 6)
         J = J * mask[None, :]
         H = J.T @ J + damping * jnp.eye(K * 6, dtype=J.dtype)
         grad = J.T @ r
         delta = -jnp.linalg.solve(H, grad) * mask
-        dR, dt = lie.se3_exp(delta.reshape(K, 6))
-        R_new = dR @ g_cur.R
-        t_new = jnp.einsum("kij,kj->ki", dR, g_cur.t) + dt
+        R_new, t_new = _apply_delta(g_cur.R, g_cur.t, delta.reshape(K, 6))
         return g_cur._replace(R=R_new, t=t_new), jnp.sum(r * r)
 
     g_out, costs = jax.lax.scan(step, g, None, length=n_iters)
@@ -147,4 +322,15 @@ def from_keyframe_chain(
         s_meas=scale_meas,
         s_w=w,
         fixed=fixed,
+    )
+
+
+def add_edges(g: PoseGraph, e_i, e_j, Z_R, Z_t, w) -> PoseGraph:
+    """Append SE3 edges (e.g. verified loop closures) to the graph."""
+    return g._replace(
+        e_i=jnp.concatenate([g.e_i, jnp.asarray(e_i, g.e_i.dtype)]),
+        e_j=jnp.concatenate([g.e_j, jnp.asarray(e_j, g.e_j.dtype)]),
+        Z_R=jnp.concatenate([g.Z_R, jnp.asarray(Z_R, g.Z_R.dtype)]),
+        Z_t=jnp.concatenate([g.Z_t, jnp.asarray(Z_t, g.Z_t.dtype)]),
+        w=jnp.concatenate([g.w, jnp.asarray(w, g.w.dtype)]),
     )
