@@ -59,17 +59,16 @@ def main():
     else:
         frames = [np.asarray(ds.gray(i)) for i in range(N_FRAMES)]
 
-    # Warm-up run over a short prefix to trigger all jit compiles
-    # (extract/match/essential/pnp/BA paths).
-    cfg = SlamConfig()
-    warm = Slam(cfg)
-    for i in range(70):
-        warm.process(i, frames[i])
-    del warm
-
     def mem_iter():
         for i in range(N_FRAMES):
             yield i, jax.device_put(frames[i]), None
+
+    # Warm-up: one full pipelined pass so every jit the timed loop hits is
+    # compiled (incl. the bucketed ELL/BA shapes of late keyframes — a short
+    # prefix misses those and the first timed run then eats the compiles).
+    cfg = SlamConfig()
+    warm = run_pipelined(Slam(cfg), mem_iter(), pipeline_depth=PIPE_DEPTH)
+    del warm
 
     def io_iter():
         """Decode inside the timed loop (C++ thread pool prefetches ahead)."""

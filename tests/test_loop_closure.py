@@ -1,0 +1,194 @@
+"""Loop closure: MXU place recognition, candidate gating, pose-graph
+correction propagation, and a synthetic drifted-loop end-to-end check."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visual_slam_tpu.models import loop_closure as lc
+from visual_slam_tpu.models import pose_graph as pg
+from visual_slam_tpu.models.map_state import SlamMap, MapConfig
+from visual_slam_tpu.ops import lie
+
+
+def _rand_desc(rng, n):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+
+class TestScoreKeyframes:
+    def test_revisited_keyframe_scores_highest(self, rng):
+        F, K = 128, 6
+        db_desc = np.stack([_rand_desc(rng, F) for _ in range(K)])
+        db_valid = np.ones((K, F), bool)
+        # Current frame shares kf 1's descriptors (a revisit), with a few
+        # bit flips (viewpoint noise).
+        cur = db_desc[1].copy()
+        flips = rng.integers(0, 2**32, size=(F, 8), dtype=np.uint32)
+        cur ^= flips & flips & np.uint32(0x1)  # flip ~a handful of bits
+        scores = np.asarray(
+            lc.score_keyframes(
+                jnp.asarray(cur),
+                jnp.ones(F, bool),
+                jnp.asarray(db_desc),
+                jnp.asarray(db_valid),
+                jnp.ones(K, bool),
+                48.0,
+            )
+        )
+        assert scores[1] == F  # every feature hits its twin
+        assert scores[1] > 2 * scores.max(initial=0, where=np.arange(K) != 1)
+
+    def test_kf_mask_zeroes_unscored(self, rng):
+        F, K = 64, 4
+        db_desc = np.stack([_rand_desc(rng, F) for _ in range(K)])
+        mask = np.array([True, False, True, False])
+        scores = np.asarray(
+            lc.score_keyframes(
+                jnp.asarray(db_desc[0]),
+                jnp.ones(F, bool),
+                jnp.asarray(db_desc),
+                jnp.ones((K, F), bool),
+                jnp.asarray(mask),
+                48.0,
+            )
+        )
+        assert scores[1] == 0 and scores[3] == 0
+        assert scores[0] == F
+
+
+class TestFindCandidate:
+    def test_picks_old_high_scorer(self):
+        cfg = lc.LoopClosureConfig(min_gap=5, min_score_abs=50, min_score_rel=0.5)
+        scores = np.zeros(20, np.int32)
+        scores[2] = 300  # old, strong (>= rel gate: 0.5 * 500)
+        scores[18] = 500  # recent neighbour (reference strength)
+        assert lc.find_candidate(scores, 19, cfg) == 2
+
+    def test_rejects_weak_absolute(self):
+        cfg = lc.LoopClosureConfig(min_gap=5, min_score_abs=100, min_score_rel=0.1)
+        scores = np.zeros(20, np.int32)
+        scores[2] = 60
+        assert lc.find_candidate(scores, 19, cfg) is None
+
+    def test_rejects_weak_relative(self):
+        cfg = lc.LoopClosureConfig(min_gap=5, min_score_abs=50, min_score_rel=0.8)
+        scores = np.zeros(20, np.int32)
+        scores[2] = 100
+        scores[18] = 400  # strong neighbourhood — 100 << 0.8*400
+        assert lc.find_candidate(scores, 19, cfg) is None
+
+    def test_respects_min_gap(self):
+        cfg = lc.LoopClosureConfig(min_gap=10, min_score_abs=10, min_score_rel=0.0)
+        scores = np.zeros(20, np.int32)
+        scores[15] = 1000  # too recent
+        assert lc.find_candidate(scores, 19, cfg) is None
+
+
+class TestCorrectionPropagation:
+    def test_landmarks_follow_anchor_keyframe(self, rng):
+        """Rigidly moving a keyframe must carry its anchored landmarks."""
+        m = SlamMap(MapConfig(max_keyframes=4, max_points=32, max_observations=64))
+        R0, t0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        m.add_keyframe(R0, t0, 0)
+        m.add_keyframe(R0, np.array([1, 0, 0], np.float32), 1)
+        X = rng.normal(size=(8, 3)).astype(np.float32) + [0, 0, 5]
+        ids = m.add_points(X, _rand_desc(rng, 8))
+        m.add_observations(1, ids, np.zeros((8, 2), np.float32))
+        # Correction: rotate kf1 by Rz(10°) and shift it.
+        w = np.array([0, 0, np.deg2rad(10)], np.float32)
+        dR = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        R_new = np.stack([R0, dR @ m.kf_R[1]]).astype(np.float32)
+        t_new = np.stack([t0, dR @ m.kf_t[1] + [0.1, 0, 0]]).astype(np.float32)
+        R_new = np.concatenate([R_new, m.kf_R[2:]], axis=0)
+        t_new = np.concatenate([t_new, m.kf_t[2:]], axis=0)
+        Xc_before = np.einsum("ij,nj->ni", m.kf_R[1], X) + m.kf_t[1]
+        lc.apply_pose_graph_correction(m, R_new, t_new)
+        Xc_after = (
+            np.einsum("ij,nj->ni", m.kf_R[1], m.pt_xyz[ids]) + m.kf_t[1]
+        )
+        np.testing.assert_allclose(Xc_after, Xc_before, atol=1e-5)
+
+    def test_anchor_is_first_observer(self, rng):
+        m = SlamMap(MapConfig(max_keyframes=4, max_points=16, max_observations=64))
+        for k in range(3):
+            m.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32), k)
+        ids = m.add_points(rng.normal(size=(4, 3)).astype(np.float32), _rand_desc(rng, 4))
+        m.add_observations(1, ids, np.zeros((4, 2), np.float32))
+        m.add_observations(2, ids, np.zeros((4, 2), np.float32))
+        anchor = lc.point_anchor_keyframes(m)
+        np.testing.assert_array_equal(anchor[ids], 1)
+
+
+class TestLoopEdge:
+    def test_measurement_consistent_with_pose_graph_rel(self, rng):
+        """Z must equal pose_graph._rel at (cand, corrected-cur) exactly."""
+        w1 = rng.normal(size=3).astype(np.float32) * 0.3
+        w2 = rng.normal(size=3).astype(np.float32) * 0.3
+        R_cand = np.asarray(lie.so3_exp(jnp.asarray(w1)))
+        R_corr = np.asarray(lie.so3_exp(jnp.asarray(w2)))
+        t_cand = rng.normal(size=3).astype(np.float32)
+        t_corr = rng.normal(size=3).astype(np.float32)
+        Z_R, Z_t = lc.loop_edge_measurement(R_cand, t_cand, R_corr, t_corr)
+        R = jnp.asarray(np.stack([R_cand, R_corr]))
+        t = jnp.asarray(np.stack([t_cand, t_corr]))
+        R_rel, t_rel = pg._rel(R, t, jnp.array([0]), jnp.array([1]))
+        np.testing.assert_allclose(np.asarray(R_rel)[0], Z_R, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_rel)[0], Z_t, atol=1e-5)
+
+
+class TestSyntheticLoopCorrection:
+    def test_drifted_loop_snaps_back(self, rng):
+        """A keyframe chain with injected drift + one true loop edge: after
+        PGO correction the endpoint error must shrink by >5x and anchored
+        landmarks must follow their keyframes."""
+        K = 40
+        # Ground truth: a circle revisiting the start.
+        ang = np.linspace(0, 2 * np.pi, K).astype(np.float32)
+        centers = np.stack([np.cos(ang), np.sin(ang), 0 * ang], -1) * 3.0
+        R_gt = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        t_gt = -np.einsum("kij,kj->ki", R_gt, centers).astype(np.float32)
+        # Drifted estimate: accumulate a small per-step rotation bias.
+        m = SlamMap(MapConfig(max_keyframes=K, max_points=64, max_observations=256))
+        bias = np.asarray(lie.so3_exp(jnp.asarray(np.array([0, 0, 0.01], np.float32))))
+        R_est, t_est = [R_gt[0]], [t_gt[0]]
+        for k in range(1, K):
+            R_rel = R_gt[k] @ R_gt[k - 1].T
+            t_rel = t_gt[k] - R_rel @ t_gt[k - 1]
+            Rk = (bias @ R_rel) @ R_est[-1]
+            tk = (bias @ R_rel) @ t_est[-1] + bias @ t_rel  # drifted compose
+            R_est.append(Rk.astype(np.float32))
+            t_est.append(tk.astype(np.float32))
+        for k in range(K):
+            m.add_keyframe(R_est[k], t_est[k], k)
+        # Landmarks anchored along the way.
+        X = rng.normal(size=(32, 3)).astype(np.float32) * 2
+        ids = m.add_points(X, _rand_desc(rng, 32))
+        m.add_observations(K // 2, ids, np.zeros((32, 2), np.float32))
+
+        err_before = np.linalg.norm(
+            (-R_est[-1].T @ t_est[-1]) - centers[-1]
+        )
+        # Loop edge: last keyframe's TRUE pose relative to keyframe 0.
+        Z_R, Z_t = lc.loop_edge_measurement(R_gt[0], t_gt[0], R_gt[-1], t_gt[-1])
+        g = pg.from_keyframe_chain(
+            jnp.asarray(m.kf_R), jnp.asarray(m.kf_t), jnp.asarray(m.kf_valid),
+            scale_meas=jnp.asarray(m.kf_scale_meas[1:]),
+        )
+        g = pg.add_edges(
+            g, np.array([0]), np.array([K - 1]),
+            Z_R[None], Z_t[None], np.array([50.0], np.float32),
+        )
+        R_new, t_new, _ = pg.optimize(g, n_iters=25, use_dcs=True)
+        Xc_before = (
+            np.einsum("ij,nj->ni", m.kf_R[K // 2], m.pt_xyz[ids])
+            + m.kf_t[K // 2]
+        )
+        lc.apply_pose_graph_correction(m, np.asarray(R_new), np.asarray(t_new))
+        err_after = np.linalg.norm(
+            (-m.kf_R[-1].T @ m.kf_t[-1]) - centers[-1]
+        )
+        assert err_after < err_before / 5, (err_before, err_after)
+        Xc_after = (
+            np.einsum("ij,nj->ni", m.kf_R[K // 2], m.pt_xyz[ids])
+            + m.kf_t[K // 2]
+        )
+        np.testing.assert_allclose(Xc_after, Xc_before, atol=1e-4)

@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .models.map_state import MapConfig
+from .models.loop_closure import LoopClosureConfig
 
 
 @dataclass
@@ -77,5 +78,6 @@ class SlamConfig:
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     ba: BAConfig = field(default_factory=BAConfig)
     map: MapConfig = field(default_factory=MapConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     seed: int = 0
     use_depth: bool = False  # RGB-D mode: metric init/triangulation from depth

@@ -1,0 +1,183 @@
+"""Loop-closure detection and correction (TPU-native).
+
+The reference has no loop closure (its full-sequence runs accumulate scale
+and pose drift; SURVEY.md §2.3 / BASELINE.json config #2 name it as the
+capability to build). This module adds it the TPU way:
+
+* Place recognition is brute-force keyframe-vs-all-keyframes descriptor
+  scoring on the MXU — no bag-of-words tree. A frame's 256-bit descriptors
+  are expanded to ±1 and matmul'd against every stored keyframe's
+  descriptors ((F,256)x(256,F) per keyframe, scanned over keyframes); ±1
+  values are exact in bf16 so the Hamming distances are exact (see
+  ops/match.py). At F=1024, K=128 this is ~70 GFLOP — trivial MXU work,
+  whereas a CPU port would need the inverted-index machinery of ORB-SLAM.
+* Geometric verification reuses the production PnP tracking step against
+  the candidate keyframe's local landmark snapshot (pipeline._track_step).
+* Correction = SE3 loop edge into the scalable pose graph
+  (models/pose_graph.py, DCS-robustified ≙ RobustKernelDCS on EdgeSE3,
+  LocalBA.py:97-113), landmark re-anchoring through their reference
+  keyframe's pose correction, cross-observations of the verified matches,
+  then a full global BA (≙ localBundleAdjustement, LocalBA.py:143-190).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import descriptor as desc_mod
+
+
+@dataclass
+class LoopClosureConfig:
+    enabled: bool = True
+    min_gap: int = 12  # candidate must be at least this many keyframes old
+    hamming_thresh: float = 48.0  # a feature "hits" a keyframe below this
+    min_score_abs: int = 60  # minimum hit count to consider a candidate
+    min_score_rel: float = 0.55  # …and vs the adjacent-keyframe hit count
+    verify_min_inliers: int = 30  # PnP inliers to accept the loop
+    cooldown: int = 8  # keyframes to wait after a closure
+    pgo_iters: int = 20
+    edge_weight: float = 50.0  # loop-edge weight (DCS still guards it)
+
+
+class KeyframeFeatureDB:
+    """Per-keyframe raw feature store (descriptors + pixel coords).
+
+    Host-side arrays with a device mirror for the MXU scoring pass; the
+    mirror is updated incrementally (one row per keyframe insertion).
+    """
+
+    def __init__(self, max_keyframes: int, max_features: int):
+        self.desc = np.zeros((max_keyframes, max_features, 8), np.uint32)
+        self.valid = np.zeros((max_keyframes, max_features), bool)
+        self.n = 0
+        self._desc_dev = None
+        self._valid_dev = None
+
+    def add(self, kf_id: int, desc: np.ndarray, valid: np.ndarray) -> None:
+        self.desc[kf_id] = desc
+        self.valid[kf_id] = valid
+        self.n = max(self.n, kf_id + 1)
+        if self._desc_dev is None:
+            self._desc_dev = jnp.asarray(self.desc)
+            self._valid_dev = jnp.asarray(self.valid)
+        else:
+            self._desc_dev = self._desc_dev.at[kf_id].set(jnp.asarray(desc))
+            self._valid_dev = self._valid_dev.at[kf_id].set(jnp.asarray(valid))
+
+    def device_arrays(self):
+        return self._desc_dev, self._valid_dev
+
+
+@partial(jax.jit, static_argnames=())
+def score_keyframes(
+    cur_desc: jnp.ndarray,  # (F,8) packed uint32
+    cur_valid: jnp.ndarray,  # (F,)
+    db_desc: jnp.ndarray,  # (K,F,8)
+    db_valid: jnp.ndarray,  # (K,F)
+    kf_mask: jnp.ndarray,  # (K,) score only these keyframes
+    hamming_thresh: float,
+) -> jnp.ndarray:
+    """Hit count of the current frame's features against every keyframe.
+
+    A feature hits keyframe k when its best Hamming distance into k's
+    descriptors is below `hamming_thresh`. Returns (K,) int32 scores.
+    """
+    a = desc_mod.unpack_pm1(cur_desc)  # (F,256) ±1
+
+    def per_kf(args):
+        dk, vk, mk = args
+        b = desc_mod.unpack_pm1(dk)  # (F,256)
+        # ±1 inputs are exact in bf16 (see ops/match.py) — keep the fast path.
+        dot = jnp.dot(
+            a,
+            b.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        dist = 0.5 * (desc_mod.N_BITS - dot)
+        dist = jnp.where(vk[None, :], dist, jnp.float32(1e9))
+        best = jnp.min(dist, axis=1)  # (F,)
+        hits = (best < hamming_thresh) & cur_valid
+        return jnp.where(mk, jnp.sum(hits.astype(jnp.int32)), 0)
+
+    return jax.lax.map(per_kf, (db_desc, db_valid, kf_mask))
+
+
+def find_candidate(
+    scores: np.ndarray, cur_kf: int, cfg: LoopClosureConfig
+) -> int | None:
+    """Pick a loop candidate from the score vector (host logic).
+
+    The absolute gate keeps weak matches out; the relative gate compares
+    against how well the frame matches its own covisible neighbourhood
+    (adjacent keyframes) — a genuine revisit scores comparably to the
+    frame's own neighbours, incidental overlap does not.
+    """
+    old = scores[: max(cur_kf - cfg.min_gap + 1, 0)]
+    if len(old) == 0:
+        return None
+    cand = int(np.argmax(old))
+    score = int(old[cand])
+    lo = max(cur_kf - 3, 0)
+    adjacent = scores[lo:cur_kf]
+    ref = float(adjacent.max()) if len(adjacent) else float(score)
+    if score < cfg.min_score_abs or score < cfg.min_score_rel * ref:
+        return None
+    return cand
+
+
+def loop_edge_measurement(R_cand, t_cand, R_corr, t_corr):
+    """SE3 edge measurement Z = T_cand ∘ T_corr⁻¹ (cam_cur -> cam_cand),
+    matching pose_graph._rel's (i=cand, j=cur) convention."""
+    Z_R = R_cand @ R_corr.T
+    Z_t = t_cand - Z_R @ t_corr
+    return Z_R, Z_t
+
+
+def point_anchor_keyframes(slam_map) -> np.ndarray:
+    """First-observing keyframe id per landmark slot (-1 when none).
+
+    The anchor defines how a landmark moves under a pose-graph correction:
+    its camera-frame coordinates in the anchor keyframe are invariant.
+    """
+    P = slam_map.config.max_points
+    anchor = np.full(P, -1, np.int64)
+    n = slam_map.n_obs
+    # Reverse iteration order + direct assignment keeps the FIRST obs row.
+    rows = np.arange(n - 1, -1, -1)
+    valid = slam_map.obs_valid[rows]
+    anchor[slam_map.obs_pt[rows[valid]]] = slam_map.obs_cam[rows[valid]]
+    return anchor
+
+
+def apply_pose_graph_correction(
+    slam_map, R_new: np.ndarray, t_new: np.ndarray
+) -> None:
+    """Propagate optimized keyframe poses to the landmarks.
+
+    Each landmark's coordinates in its anchor keyframe's camera frame are
+    held fixed: X' = R_new_kᵀ (R_old_k X + t_old_k − t_new_k). This is the
+    standard pose-graph map update (ORB-SLAM's loop-correction semantics),
+    done in one vectorized host pass.
+    """
+    anchor = point_anchor_keyframes(slam_map)
+    sel = np.where(slam_map.pt_valid & (anchor >= 0))[0]
+    if len(sel) == 0:
+        slam_map.kf_R = R_new.astype(np.float32)
+        slam_map.kf_t = t_new.astype(np.float32)
+        return
+    a = anchor[sel]
+    X = slam_map.pt_xyz[sel]
+    Ro, to = slam_map.kf_R[a], slam_map.kf_t[a]
+    Rn, tn = R_new[a], t_new[a]
+    Xc = np.einsum("nij,nj->ni", Ro, X) + to  # anchor-camera coords
+    Xw = np.einsum("nji,nj->ni", Rn, Xc - tn)
+    slam_map.pt_xyz[sel] = Xw.astype(np.float32)
+    slam_map.kf_R = R_new.astype(np.float32)
+    slam_map.kf_t = t_new.astype(np.float32)
+    slam_map.refresh_scale_meas()

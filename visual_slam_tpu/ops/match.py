@@ -25,7 +25,12 @@ def hamming_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
     """(K1,8),(K2,8) packed uint32 -> (K1,K2) float32 Hamming distances."""
     a = desc_mod.unpack_pm1(desc1)
     b = desc_mod.unpack_pm1(desc2)
-    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    # precision=DEFAULT: ±1 values are exact in bf16 and the MXU accumulates
+    # in f32, so the fast path loses nothing (the package-wide default is
+    # "highest", which would run this 6-pass for no accuracy gain).
+    dot = jnp.dot(
+        a, b.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
+    )
     return 0.5 * (desc_mod.N_BITS - dot)
 
 

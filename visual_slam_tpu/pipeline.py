@@ -24,9 +24,17 @@ import jax.numpy as jnp
 from .config import SlamConfig
 from .models import ba as ba_mod
 from .models import frontend
+from .models import loop_closure as lc_mod
 from .models.map_state import SlamMap
 from .ops import lie, match, pnp, projection, triangulate, twoview
 from .utils.profiling import StageTimers
+
+
+def pose_graph_mod():
+    """Lazy import: pose_graph is only needed at loop closures / sequence end."""
+    from .models import pose_graph
+
+    return pose_graph
 
 
 @dataclass
@@ -286,6 +294,12 @@ class Slam:
         self._frames_since_kf = 0
         self._snap_epoch = 0  # bumped when keyframe insertion remaps the snapshot
         self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
+        # loop closure state
+        self._loop_db = lc_mod.KeyframeFeatureDB(
+            self.cfg.map.max_keyframes, self.cfg.frontend.max_features
+        )
+        self._loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self._last_loop_kf = -(10**9)
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
 
@@ -406,6 +420,8 @@ class Slam:
             self.map = SlamMap(self.cfg.map)  # rollback, retry next frames
             self.stats["init_rollbacks"] = self.stats.get("init_rollbacks", 0) + 1
             return False
+        self._loop_db.add(kf0, np.asarray(f0.desc), np.asarray(f0.valid))
+        self._loop_db.add(kf1, np.asarray(feats.desc), np.asarray(feats.valid))
         self._finish_keyframe(kf1, feats, mapped, frame_idx)
         self.initialized = True
         self.stats["init_frame"] = frame_idx
@@ -430,6 +446,7 @@ class Slam:
         self.map.add_observations(kf0, pt_ids, uv[sel])
         mapped = np.zeros(self.cfg.frontend.max_features, bool)
         mapped[sel] = True
+        self._loop_db.add(kf0, np.asarray(feats.desc), np.asarray(feats.valid))
         self._finish_keyframe(kf0, feats, mapped, frame_idx)
         self._last_kf_depth = depth
         self.initialized = True
@@ -538,10 +555,50 @@ class Slam:
         # not the tracking snapshot — never promote it in the same step.
         is_kf = is_kf and not relocalized
         # Pipelined consume: a frame dispatched against a snapshot that a
-        # newer keyframe has since replaced must not insert a keyframe — its
-        # match indices describe the superseded landmark set (stale inserts
-        # cascade into keyframes-every-frame and duplicate observations).
-        is_kf = is_kf and h.get("snap_epoch", self._snap_epoch) == self._snap_epoch
+        # newer keyframe has since replaced may not insert with its STALE
+        # match indices (they describe the superseded landmark set). But
+        # dropping the candidate outright starves the map — with an L-frame
+        # decision lag every keyframe vetoes the next L candidates (measured:
+        # 45 vetoes vs 11 insertions at depth 6 on lr traj3). Instead,
+        # re-track the frame against the CURRENT snapshot (one extra device
+        # round trip at keyframe cadence) and re-apply the keyframe rule
+        # with the fresh indices.
+        if is_kf and h.get("snap_epoch", self._snap_epoch) != self._snap_epoch:
+            is_kf = False
+            snap = self._snapshot
+            packed2, _, _, inliers2, idx22 = _track_step(
+                feats.desc, feats.uv, feats.valid,
+                snap["desc"], snap["xyz"], snap["valid"],
+                jnp.asarray(R_np), jnp.asarray(t_np),
+                self.intr, self._next_key(),
+                cfg.frontend.match_ratio, cfg.frontend.max_hamming,
+                cfg.tracking.pnp_threshold_px,
+                n_hyps=cfg.tracking.pnp_hypotheses,
+                refine_iters=cfg.tracking.refine_iters,
+                cross_check=cfg.frontend.cross_check,
+            )
+            # Async fetch first: a blocking wait on a fresh dispatch costs
+            # ~230 ms of completion-poll latency on this backend's tunnel; a
+            # started fetch lands in ~25 ms.
+            _fetch_async(packed2, inliers2, idx22)
+            p2 = np.asarray(packed2)
+            n2 = int(p2[12])
+            n_local2 = snap["n_valid"]
+            still_kf = (
+                self._frames_since_kf > cfg.keyframe.max_interval
+                or n2 < cfg.keyframe.min_tracked
+            ) and n2 < cfg.keyframe.tracked_ratio * max(n_local2, 1)
+            if still_kf and n2 >= cfg.tracking.min_tracked_points:
+                is_kf = True
+                R_np = p2[:9].reshape(3, 3).copy()
+                t_np = p2[9:12].copy()
+                self._prev_R, self._prev_t = R_np, t_np
+                n_tracked, inliers, idx2 = n2, inliers2, idx22
+                self.stats["kf_retracked"] = self.stats.get("kf_retracked", 0) + 1
+            else:
+                self.stats["kf_vetoed_stale"] = (
+                    self.stats.get("kf_vetoed_stale", 0) + 1
+                )
         if is_kf:
             self._insert_keyframe(
                 frame_idx, feats, R_np, t_np, inliers, idx2, depth, snap=snap
@@ -575,6 +632,7 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
         )
+        _fetch_async(packed, inliers, idx2)  # avoid the ~230 ms blocking poll
         packed_np = np.asarray(packed)
         n = int(packed_np[12])
         ok = n >= cfg.tracking.min_tracked_points
@@ -606,6 +664,9 @@ class Slam:
         uv_cur = np.asarray(feats.uv)[idx2_np[sel]]
         desc_cur = np.asarray(feats.desc)[idx2_np[sel]]
         self.map.add_observations(kf_id, pt_ids, uv_cur, desc_cur)
+        # Loop-closure place recognition: dispatch the MXU keyframe-scoring
+        # pass now so its result fetch overlaps with the mining step below.
+        loop_scores = self._dispatch_loop_scores(kf_id, feats)
         mapped = np.zeros(cfg.frontend.max_features, bool)
         mapped[idx2_np[sel]] = True
         # Cull weak landmarks every 4th keyframe (≙ main.py:234-235).
@@ -620,6 +681,8 @@ class Slam:
         # Full bundle adjustment over the map (≙ main.py:322-323),
         # dispatched async; applied after a couple of tracked frames.
         self._finish_keyframe(kf_id, feats, mapped, frame_idx)
+        if loop_scores is not None:
+            self._maybe_close_loop(kf_id, feats, loop_scores)
         self._dispatch_ba(kf_id, scale_gauge=False)
 
     def _mine_new_points(self, kf_id, feats, mapped_cur):
@@ -751,13 +814,14 @@ class Slam:
             self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + n
         self.stats["ba_runs"] += 1
         # The optimized landmarks replace the tracking snapshot (pose
-        # continuity kept: the tracker's prev pose is not rewritten). The
-        # epoch bump invalidates any in-flight pipelined handle: pruning can
-        # reorder the snapshot's slots, so stale match indices must never be
-        # promoted into keyframe observations.
+        # continuity kept: the tracker's prev pose is not rewritten). No
+        # epoch bump: in-flight handles bind their dispatch-time snapshot,
+        # whose pt_ids are global landmark ids that stay valid across a BA
+        # apply (even when pruning reorders the rebuilt snapshot's slots) —
+        # bumping here needlessly vetoed every in-flight keyframe candidate
+        # after each BA apply, halving the keyframe count in pipelined runs.
         if self._last_kf_id is not None:
             self._snapshot = self.map.local_snapshot(self._last_kf_id)
-            self._snap_epoch += 1
 
     def _run_full_ba(self, scale_gauge: bool):
         """Synchronous BA (init path): dispatch + immediate apply."""
@@ -788,22 +852,117 @@ class Slam:
                 fr.t_cw = self.map.kf_t[kf_id].copy()
                 break
 
-    def optimize_pose_graph(self, n_iters: int = 15) -> None:
-        """Final keyframe pose-graph optimization with scale edges
-        (config #4 scale-drift correction; ≙ the EdgeSE3/EdgeSBAScale chain
-        the reference builds in LocalBA.py:97-131). Updates keyframe poses
-        and rewrites the trajectory entries of keyframe frames."""
-        from .models import pose_graph
+    # ---------------------------------------------------------- loop closure
 
-        g = pose_graph.from_keyframe_chain(
+    def _dispatch_loop_scores(self, kf_id: int, feats):
+        """Store the new keyframe's features and dispatch the MXU
+        place-recognition scoring pass (models/loop_closure.py). Returns a
+        device scores handle (fetch started) or None when not applicable."""
+        cfg = self.cfg.loop
+        self._loop_db.add(kf_id, np.asarray(feats.desc), np.asarray(feats.valid))
+        if not cfg.enabled:
+            return None
+        if kf_id < cfg.min_gap or kf_id - self._last_loop_kf <= cfg.cooldown:
+            return None
+        db_desc, db_valid = self._loop_db.device_arrays()
+        kf_mask = jnp.asarray(self.map.kf_valid)
+        scores = lc_mod.score_keyframes(
+            feats.desc, feats.valid, db_desc, db_valid, kf_mask,
+            cfg.hamming_thresh,
+        )
+        _fetch_async(scores)
+        return scores
+
+    def _maybe_close_loop(self, kf_id: int, feats, scores_dev) -> None:
+        """Consume the scoring pass; verify and close a detected loop."""
+        cfg = self.cfg.loop
+        scores = np.asarray(scores_dev)
+        cand = lc_mod.find_candidate(scores, kf_id, cfg)
+        if cand is None:
+            return
+        # Geometric verification: PnP of the current keyframe's features
+        # against the candidate keyframe's landmark snapshot, seeded at the
+        # candidate's pose (the production tracking step — same jit).
+        tcfg = self.cfg.tracking
+        fq = self.cfg.frontend
+        snap = self.map.local_snapshot(cand)
+        packed, _, _, inliers, idx2 = _track_step(
+            feats.desc, feats.uv, feats.valid,
+            snap["desc"], snap["xyz"], snap["valid"],
+            jnp.asarray(self.map.kf_R[cand]), jnp.asarray(self.map.kf_t[cand]),
+            self.intr, self._next_key(),
+            fq.match_ratio, fq.max_hamming, tcfg.pnp_threshold_px,
+            n_hyps=tcfg.pnp_hypotheses, refine_iters=tcfg.refine_iters,
+            cross_check=fq.cross_check,
+        )
+        _fetch_async(packed, inliers, idx2)  # avoid the ~230 ms blocking poll
+        packed_np = np.asarray(packed)
+        n_inl = int(packed_np[12])
+        self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
+        if n_inl < cfg.verify_min_inliers:
+            return
+        R_corr = packed_np[:9].reshape(3, 3).astype(np.float32)
+        t_corr = packed_np[9:12].astype(np.float32)
+        # Cross-observations: the verified matches are sightings of the OLD
+        # landmarks in the NEW keyframe — global BA fuses the loop through
+        # these reprojection constraints.
+        inl_np = np.asarray(inliers)
+        idx2_np = np.asarray(idx2)
+        sel = np.where(inl_np)[0]
+        pt_ids = np.asarray(snap["pt_ids"])[sel]
+        self.map.add_observations(
+            kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]]
+        )
+        # SE3 loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113).
+        Z_R, Z_t = lc_mod.loop_edge_measurement(
+            self.map.kf_R[cand], self.map.kf_t[cand], R_corr, t_corr
+        )
+        self._loop_edges.append((cand, kf_id, Z_R, Z_t))
+        # Pose-graph correction + landmark re-anchoring.
+        g = self._build_pose_graph()
+        R_new, t_new, _ = pose_graph_mod().optimize(
+            g, n_iters=cfg.pgo_iters, use_dcs=True
+        )
+        lc_mod.apply_pose_graph_correction(
+            self.map, np.asarray(R_new), np.asarray(t_new)
+        )
+        self._rewrite_keyframe_trajectory()
+        # Reset tracking around the corrected pose/map; in-flight pipelined
+        # frames referenced the pre-correction world and must not keyframe.
+        self._snapshot = self.map.local_snapshot(kf_id)
+        self._snap_epoch += 1
+        self._prev_R = self.map.kf_R[kf_id].copy()
+        self._prev_t = self.map.kf_t[kf_id].copy()
+        self._pose_dev = None
+        self._last_loop_kf = kf_id
+        self.stats["loop_closures"] = self.stats.get("loop_closures", 0) + 1
+
+    def _build_pose_graph(self):
+        """Keyframe chain + accumulated loop edges, padded to an 8-edge
+        bucket (each distinct edge count is a fresh XLA compile)."""
+        pg = pose_graph_mod()
+        g = pg.from_keyframe_chain(
             jnp.asarray(self.map.kf_R),
             jnp.asarray(self.map.kf_t),
             jnp.asarray(self.map.kf_valid),
             scale_meas=jnp.asarray(self.map.kf_scale_meas[1:]),
         )
-        R, t, cost = pose_graph.optimize(g, n_iters=n_iters)
-        self.map.kf_R = np.array(R)
-        self.map.kf_t = np.array(t)
+        E = len(self._loop_edges)
+        if E == 0:
+            return g
+        cap = 8 * ((E + 7) // 8)
+        e_i = np.zeros(cap, np.int32)
+        e_j = np.zeros(cap, np.int32)
+        Z_R = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+        Z_t = np.zeros((cap, 3), np.float32)
+        w = np.zeros(cap, np.float32)
+        for n, (i, j, zr, zt) in enumerate(self._loop_edges):
+            e_i[n], e_j[n] = i, j
+            Z_R[n], Z_t[n] = zr, zt
+            w[n] = self.cfg.loop.edge_weight
+        return pg.add_edges(g, e_i, e_j, Z_R, Z_t, w)
+
+    def _rewrite_keyframe_trajectory(self) -> None:
         kf_by_frame = {
             int(f): k
             for k, f in enumerate(self.map.kf_frame_idx)
@@ -814,6 +973,19 @@ class Slam:
             if k is not None:
                 fr.R_cw = self.map.kf_R[k].copy()
                 fr.t_cw = self.map.kf_t[k].copy()
+
+    def optimize_pose_graph(self, n_iters: int = 15) -> None:
+        """Final keyframe pose-graph optimization with scale edges and any
+        accumulated loop edges (config #4 scale-drift correction; ≙ the
+        EdgeSE3/EdgeSBAScale chain the reference builds in LocalBA.py:97-131).
+        Updates keyframe poses (landmarks re-anchored) and rewrites the
+        trajectory entries of keyframe frames."""
+        g = self._build_pose_graph()
+        R, t, cost = pose_graph_mod().optimize(
+            g, n_iters=n_iters, use_dcs=bool(self._loop_edges)
+        )
+        lc_mod.apply_pose_graph_correction(self.map, np.asarray(R), np.asarray(t))
+        self._rewrite_keyframe_trajectory()
 
     # ------------------------------------------------------------------ eval
 
@@ -851,6 +1023,16 @@ def run_pipelined(slam: "Slam", frame_iter, pipeline_depth: int = 6):
     """
     from collections import deque
 
+    def ready(h) -> bool:
+        """True when a handle's device program has finished (its fetch is
+        then ~free). Keyframe/failure decisions act as soon as results
+        land — pipeline_depth is only the in-flight CAP, so decision lag is
+        set by device latency (~1-2 frames through the tunnel), not depth."""
+        try:
+            return h["packed"].is_ready()
+        except (AttributeError, KeyError):
+            return False
+
     cfg = slam.cfg
     pending: deque = deque()
     init_pending: deque = deque()
@@ -875,7 +1057,7 @@ def run_pipelined(slam: "Slam", frame_iter, pipeline_depth: int = 6):
             init_pending.clear()  # drop superseded init attempts
             slam._apply_pending_ba()
             pending.append(slam._dispatch_track(i, feats, depth))
-            if len(pending) > pipeline_depth:
+            while pending and (len(pending) > pipeline_depth or ready(pending[0])):
                 slam._consume_track(pending.popleft())
     while init_pending:
         if slam._consume_init(init_pending.popleft()):
