@@ -32,6 +32,10 @@ def main():
     gt = ds.ground_truth()
 
     cfg = size_config_for(N)
+    if os.environ.get("VSLAM_NOLOOP"):
+        cfg.loop.enabled = False
+    if os.environ.get("VSLAM_SOLVER"):
+        cfg.ba.solver = os.environ["VSLAM_SOLVER"]
     t0 = time.perf_counter()
     if depth > 0:
         def it():

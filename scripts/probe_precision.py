@@ -38,7 +38,7 @@ def main():
 
     def mem_iter():
         for i in range(N):
-            yield i, jax.device_put(frames[i]), None
+            yield i, frames[i], None
 
     warm = run_pipelined(Slam(SlamConfig()), mem_iter(), pipeline_depth=depths[0])
     print(f"warm ({mode}): ATE {ate(warm):.4f}", flush=True)

@@ -52,10 +52,19 @@ class KeyframeConfig:
     cull_every: int = 4  # main.py:234
     cull_after: int = 6  # main.py:234
     # New-point triangulation parallax gate (≙ the reference's validated
-    # `triangulation` helper, helper_functions.py:211-267 min_parallax; its
-    # main loop never calls it, so the value is ours: 0.5° best on lr traj3
-    # — ATE 0.0086 vs 0.0125 ungated, 200-frame CPU sweep).
-    min_parallax_deg: float = 0.5
+    # `triangulation` helper, helper_functions.py:211-267 min_parallax; the
+    # reference's main loop never calls it, and measurements agree: 0.5°
+    # helps a 200-frame run slightly (ATE 0.0086 vs 0.0125) but starves the
+    # map into tracking collapse on the full sequence's low-motion segments
+    # (600-frame ATE 0.28 + 59 failures gated vs 0.037 + 0 ungated).
+    # Default off; an adaptive fallback (min_mined_points) protects runs
+    # that enable it.
+    min_parallax_deg: float = 0.0
+    # Adaptive-gate floor: when the strict parallax gate would mine fewer
+    # than this many new landmarks, fall back to the ungated (reproj+depth)
+    # mask — a starved snapshot cascades into keyframe-every-frame tracking
+    # collapse on low-motion segments (measured on lr traj3 frames ~350-410).
+    min_mined_points: int = 40
     max_new_depth: float = 10.0  # cheirality/depth gate for mined points
     triangulation_reproj_px: float = 4.0
 
@@ -65,6 +74,14 @@ class BAConfig:
     iters: int = 10  # optimizer.optimize(10) (LocalBA.py:39)
     cg_iters: int = 12  # truncated CG doubles as a trust region; 12 beats 24 on ATE
     scale_gauge_on_init: bool = True  # median-depth normalize (LocalBA.py:179-190)
+    # "cg" = implicit-Schur truncated PCG — the truncation doubles as a
+    # trust region, which is LOAD-BEARING on long sequences: with the exact
+    # Cholesky step the full 1000-frame lr traj3 run warps to ATE 0.72 and
+    # loses tracking, while CG-12 holds ATE 0.044 with zero failures (the
+    # 200-frame run is indifferent: 0.019 vs 0.021).
+    # "chol" = explicit reduced camera system + dense Cholesky (exact LM
+    # step; fine for short windows, fastest per-iteration on TPU).
+    solver: str = "cg"
 
 
 @dataclass

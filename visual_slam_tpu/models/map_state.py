@@ -147,6 +147,7 @@ class SlamMap:
             pt_ids=jnp.asarray(pid),
             valid=jnp.asarray(valid),
             n_valid=n,  # host-side count: reading it must not cost a fetch
+            pt_ids_np=pid,  # host copy: reading it must not cost a fetch
         )
 
     def global_snapshot(self):
@@ -173,6 +174,7 @@ class SlamMap:
             pt_ids=jnp.asarray(pid),
             valid=jnp.asarray(valid),
             n_valid=n,
+            pt_ids_np=pid,
         )
 
     def refresh_scale_meas(self) -> None:

@@ -220,16 +220,25 @@ def _mine_step(
     r2 = r2 / (jnp.linalg.norm(r2, axis=-1, keepdims=True) + 1e-12)
     cosang = jnp.clip(jnp.sum(r1 * r2, axis=-1), -1.0, 1.0)
     parallax_ok = jnp.degrees(jnp.arccos(cosang)) >= min_parallax_deg
-    keep = good & reproj_ok & depth_ok & parallax_ok
-    return idx2, keep, X
+    keep_loose = good & reproj_ok & depth_ok
+    keep = keep_loose & parallax_ok
+    # Both masks go back to the host: the strict gate improves short-run BA
+    # (low-parallax points carry huge depth uncertainty) but in low-motion
+    # segments it can mine ZERO points, starving the tracking snapshot into
+    # a keyframe-every-frame death spiral (measured: ATE 0.28 + 59 tracking
+    # failures over 600 frames gated vs 0.037 + 0 ungated). The caller falls
+    # back to keep_loose when the strict yield is below a floor.
+    return idx2, keep, keep_loose, X
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
-def _ba_step(prob, n_iters: int, cg_iters: int):
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "solver"))
+def _ba_step(prob, n_iters: int, cg_iters: int, solver: str = "chol"):
     """optimize + diagnostics in ONE computation: returns (optimized problem,
     diag [cost_before, cost_after, blown_fraction], bad-observation mask)."""
     cost_before = ba_mod._cost(prob)
-    out, cost_after = ba_mod.optimize(prob, n_iters=n_iters, cg_iters=cg_iters)
+    out, cost_after = ba_mod.optimize(
+        prob, n_iters=n_iters, cg_iters=cg_iters, solver=solver
+    )
     err, w = ba_mod.reproj_errors(out)
     bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (w > 0)
     n_obs = jnp.maximum(jnp.sum(w), 1.0)
@@ -249,6 +258,72 @@ def _fetch_async(*arrays) -> None:
             a.copy_to_host_async()
         except AttributeError:
             pass
+
+
+def _fetch_now(*arrays):
+    """Fetch device arrays to host with ONE tunnel flush (~30 ms total).
+
+    NEVER call bare np.asarray() on an unfetched device array here: the
+    blocking path's completion-poll backoff costs up to ~1 s per array
+    (measured) even when the result is long since computed. Issuing the
+    async copies together and spinning on is_ready amortizes every array
+    into a single ~30 ms round trip.
+    """
+    import time as _time
+
+    _fetch_async(*arrays)
+    deadline = _time.perf_counter() + 5.0
+    for a in arrays:
+        try:
+            while not a.is_ready() and _time.perf_counter() < deadline:
+                _time.sleep(0.001)
+        except AttributeError:
+            break
+    return [np.asarray(a) for a in arrays]
+
+
+class _FetchBatch:
+    """Batches many frames' small per-frame results into ONE tunnel flush.
+
+    The tunnel charges ~30 ms per device->host interaction regardless of
+    size, so fetching each frame's 13-float packed result individually caps
+    the whole pipeline at ~33 frames/s. Stacking B frames' results on
+    device and fetching once costs ~30/B ms per frame instead.
+    """
+
+    def __init__(self):
+        self.items: list = []
+        self._stacked = None
+        self._host = None
+
+    def __len__(self):
+        return len(self.items)
+
+    def add(self, arr) -> int:
+        self.items.append(arr)
+        return len(self.items) - 1
+
+    def seal(self) -> None:
+        if self._stacked is None and self.items:
+            self._stacked = jnp.stack(self.items)
+            _fetch_async(self._stacked)
+
+    def get(self, slot: int) -> np.ndarray:
+        if self._host is None:
+            self.seal()
+            import time as _time
+
+            deadline = _time.perf_counter() + 5.0
+            try:
+                while (
+                    not self._stacked.is_ready()
+                    and _time.perf_counter() < deadline
+                ):
+                    _time.sleep(0.001)
+            except AttributeError:
+                pass
+            self._host = np.asarray(self._stacked)
+        return self._host[slot]
 
 
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
@@ -335,7 +410,7 @@ class Slam:
         if h is not None:
             self._consume_init(h)
 
-    def _dispatch_init(self, frame_idx, feats):
+    def _dispatch_init(self, frame_idx, feats, fetch: bool = True):
         """Dispatch one two-view init attempt without fetching (pipelining
         support — the init phase is otherwise one blocking ~25 ms tunnel
         fetch per frame). Returns a handle, or None for the anchor frame."""
@@ -365,7 +440,8 @@ class Slam:
             model_selection=cfg.twoview.use_model_selection,
             cross_check=cfg.frontend.cross_check,
         )
-        _fetch_async(scalars, idx2, R, t, X1, cheir)
+        if fetch:
+            _fetch_async(scalars, idx2, R, t, X1, cheir)
         return dict(
             frame_idx=frame_idx, feats=feats, scalars=scalars, idx2=idx2,
             R=R, t=t, X=X1, cheir=cheir,
@@ -378,7 +454,10 @@ class Slam:
         frame_idx, feats = h["frame_idx"], h["feats"]
         f0 = self._init_feats
         idx2, R, t, X1, cheir = h["idx2"], h["R"], h["t"], h["X"], h["cheir"]
-        scalars_np = np.asarray(h["scalars"])  # ONE fetch for all three gates
+        if "batch" in h:
+            scalars_np = h["batch"].get(h["slot"])
+        else:
+            scalars_np = np.asarray(h["scalars"])  # ONE fetch, all three gates
         n_matches = int(scalars_np[0])
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
             return False
@@ -386,21 +465,22 @@ class Slam:
             return False
         if scalars_np[2] < cfg.twoview.min_init_parallax_deg:
             return False
+        # Accepted (rare): ONE grouped flush for every array the map build
+        # below needs on the host.
+        R1, t1, good_np, X_np, idx2_np, _, _, _, _ = _fetch_now(
+            R, t, cheir, X1, idx2, feats.uv, feats.desc, feats.valid, f0.uv
+        )
         uv1 = f0.uv
-        uv2 = h["feats"].uv[idx2]
-        # Accepted: frame0 = world origin keyframe, this frame = keyframe 1.
+        uv2_np = np.asarray(h["feats"].uv)[idx2_np]
+        # Frame0 = world origin keyframe, this frame = keyframe 1.
         R0 = np.eye(3, dtype=np.float32)
         t0 = np.zeros(3, np.float32)
-        R1, t1 = np.asarray(R), np.asarray(t)
         kf0 = self.map.add_keyframe(R0, t0, self._init_frame_idx)
         kf1 = self.map.add_keyframe(R1, t1, frame_idx)
-        good_np = np.asarray(cheir)
-        X_np = np.asarray(X1)  # cam0 == world frame
         sel = np.where(good_np)[0]
-        idx2_np = np.asarray(idx2)
         pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
         self.map.add_observations(kf0, pt_ids, np.asarray(uv1)[sel])
-        self.map.add_observations(kf1, pt_ids, np.asarray(uv2)[sel])
+        self.map.add_observations(kf1, pt_ids, uv2_np[sel])
         # Mark mapped features of the new keyframe (for new-point mining).
         mapped = np.zeros(self.cfg.frontend.max_features, bool)
         mapped[idx2_np[sel]] = True
@@ -412,8 +492,7 @@ class Slam:
         # and keep searching for a better pair.
         prob = self.map.to_ba_problem(self.cfg.intrinsics)
         err_d, w_d = ba_mod.reproj_errors(prob)
-        w_np = np.asarray(w_d)
-        err = np.asarray(err_d)
+        err, w_np = _fetch_now(err_d, w_d)
         n_obs = max(float(w_np.sum()), 1.0)
         tight_frac = float(((err < 2.0) * w_np).sum() / n_obs)
         if tight_frac < 0.75 or n_obs < 2 * cfg.twoview.min_matches:
@@ -463,7 +542,7 @@ class Slam:
             h = self._dispatch_track(frame_idx, feats, depth)
             self._consume_track(h)
 
-    def _dispatch_track(self, frame_idx, feats, depth):
+    def _dispatch_track(self, frame_idx, feats, depth, fetch: bool = True):
         """Dispatch one tracking step without fetching (pipelining support).
 
         The PnP seed pose comes from the previous dispatch's DEVICE output
@@ -502,7 +581,8 @@ class Slam:
             cross_check=cfg.frontend.cross_check,
         )
         self._pose_dev = (R_dev, t_dev)
-        _fetch_async(packed, inliers, idx2)  # overlap the ~25 ms fetch latency
+        if fetch:
+            _fetch_async(packed, inliers, idx2)  # overlap the fetch latency
         return dict(
             frame_idx=frame_idx,
             feats=feats,
@@ -520,7 +600,10 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
         snap, inliers, idx2 = h["snap"], h["inliers"], h["idx2"]
-        packed_np = np.asarray(h["packed"])
+        if "batch" in h:
+            packed_np = h["batch"].get(h["slot"])
+        else:
+            packed_np = np.asarray(h["packed"])
         R = packed_np[:9].reshape(3, 3)
         t = packed_np[9:12]
         n_tracked = int(packed_np[12])
@@ -577,11 +660,7 @@ class Slam:
                 refine_iters=cfg.tracking.refine_iters,
                 cross_check=cfg.frontend.cross_check,
             )
-            # Async fetch first: a blocking wait on a fresh dispatch costs
-            # ~230 ms of completion-poll latency on this backend's tunnel; a
-            # started fetch lands in ~25 ms.
-            _fetch_async(packed2, inliers2, idx22)
-            p2 = np.asarray(packed2)
+            p2, _, _ = _fetch_now(packed2, inliers2, idx22)
             n2 = int(p2[12])
             n_local2 = snap["n_valid"]
             still_kf = (
@@ -632,8 +711,7 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
         )
-        _fetch_async(packed, inliers, idx2)  # avoid the ~230 ms blocking poll
-        packed_np = np.asarray(packed)
+        packed_np, _, _ = _fetch_now(packed, inliers, idx2)
         n = int(packed_np[12])
         ok = n >= cfg.tracking.min_tracked_points
         # The returned inliers/idx2 index the *global* snapshot, which is not
@@ -655,12 +733,16 @@ class Slam:
         # observations and rebuilt the snapshot with a different slot order,
         # which would silently make inliers/idx2 select the wrong pt_ids.
         # The handle snapshot's pt_ids stay valid landmark ids regardless.
-        inl_np = np.asarray(inliers)
-        idx2_np = np.asarray(idx2)
+        # One grouped flush for everything this keyframe needs on the host
+        # (inliers + the frame's feature arrays): each separate blocking
+        # fetch costs a full ~30 ms tunnel round trip.
+        inl_np, idx2_np, _, _, _ = _fetch_now(
+            inliers, idx2, feats.uv, feats.desc, feats.valid
+        )
         # Tracked landmarks gain an observation in the new keyframe
         # (≙ main.py:232).
         sel = np.where(inl_np)[0]
-        pt_ids = np.asarray(snap["pt_ids"])[sel]
+        pt_ids = snap["pt_ids_np"][sel]
         uv_cur = np.asarray(feats.uv)[idx2_np[sel]]
         desc_cur = np.asarray(feats.desc)[idx2_np[sel]]
         self.map.add_observations(kf_id, pt_ids, uv_cur, desc_cur)
@@ -694,7 +776,7 @@ class Slam:
         # helper_functions.py:316-326).
         avail1 = np.asarray(prev_feats.valid) & ~prev_mapped
         prev_id = self._last_kf_id
-        idx2, keep_dev, X = _mine_step(
+        idx2, keep_dev, keep_loose_dev, X = _mine_step(
             prev_feats.desc,
             prev_feats.uv,
             jnp.asarray(avail1),
@@ -713,15 +795,21 @@ class Slam:
             cfg.keyframe.min_parallax_deg,
             cross_check=cfg.frontend.cross_check,
         )
-        _fetch_async(idx2, keep_dev, X)  # one ~25 ms wait instead of three
-        idx2_np = np.asarray(idx2)
-        keep = np.array(keep_dev)
+        idx2_np, keep, keep_loose_np, X_np = _fetch_now(
+            idx2, keep_dev, keep_loose_dev, X
+        )
+        keep = keep.copy()
         # Don't re-map features already matched to existing landmarks.
-        keep &= ~mapped_cur[idx2_np]
+        fresh = ~mapped_cur[idx2_np]
+        keep &= fresh
+        # Adaptive parallax gate: relax to the loose mask when the strict
+        # yield would starve the map (see _mine_step docstring).
+        if keep.sum() < cfg.keyframe.min_mined_points:
+            keep = keep_loose_np & fresh
+            self.stats["mine_relaxed"] = self.stats.get("mine_relaxed", 0) + 1
         sel = np.where(keep)[0]
         if len(sel) == 0:
             return
-        X_np = np.asarray(X)
         pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
         self.map.add_observations(prev_id, pt_ids, np.asarray(prev_feats.uv)[sel])
         self.map.add_observations(kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]])
@@ -756,7 +844,8 @@ class Slam:
         with self.timers.time("bundle_adjust"):
             prob = self.map.to_ba_problem(self.cfg.intrinsics)
             out, diag, bad = _ba_step(
-                prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters
+                prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters,
+                solver=cfg.ba.solver,
             )
         # Start the result copies now: by apply time (a couple of frames
         # later) they have landed and the apply's fetches are ~free. The
@@ -781,6 +870,19 @@ class Slam:
             if not ready:
                 self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1, meta)
                 return
+        else:
+            # Forced apply of a possibly-unfinished BA (back-to-back
+            # keyframes): a blocking np.asarray pays ~230 ms of completion-
+            # poll backoff on this backend even for a ~10 ms solve. Spin on
+            # is_ready (cheap) so the blocking fetch below finds the result
+            # already landed.
+            try:
+                import time as _time
+
+                while not diag.is_ready():
+                    _time.sleep(0.002)
+            except AttributeError:
+                pass
         self._pending_ba = None
         with self.timers.time("bundle_adjust"):
             diag_np = np.asarray(diag)
@@ -895,8 +997,7 @@ class Slam:
             n_hyps=tcfg.pnp_hypotheses, refine_iters=tcfg.refine_iters,
             cross_check=fq.cross_check,
         )
-        _fetch_async(packed, inliers, idx2)  # avoid the ~230 ms blocking poll
-        packed_np = np.asarray(packed)
+        packed_np, inl_host, idx2_host = _fetch_now(packed, inliers, idx2)
         n_inl = int(packed_np[12])
         self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
         if n_inl < cfg.verify_min_inliers:
@@ -906,12 +1007,10 @@ class Slam:
         # Cross-observations: the verified matches are sightings of the OLD
         # landmarks in the NEW keyframe — global BA fuses the loop through
         # these reprojection constraints.
-        inl_np = np.asarray(inliers)
-        idx2_np = np.asarray(idx2)
-        sel = np.where(inl_np)[0]
-        pt_ids = np.asarray(snap["pt_ids"])[sel]
+        sel = np.where(inl_host)[0]
+        pt_ids = snap["pt_ids_np"][sel]
         self.map.add_observations(
-            kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]]
+            kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
         )
         # SE3 loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113).
         Z_R, Z_t = lc_mod.loop_edge_measurement(
@@ -1010,55 +1109,117 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
     return cfg
 
 
-def run_pipelined(slam: "Slam", frame_iter, pipeline_depth: int = 6):
-    """Drive a Slam over (frame_idx, device_image_or_feats, depth) tuples with
-    a `pipeline_depth`-deep in-flight window.
+def run_pipelined(
+    slam: "Slam",
+    frame_iter,
+    pipeline_depth: int = 6,
+    h2d_block: int = 1,
+    fetch_batch: int = 0,
+    prof: dict | None = None,
+):
+    """Drive a Slam over (frame_idx, image_or_feats, depth) tuples with a
+    `pipeline_depth`-deep in-flight window.
 
-    Every frame's device work is dispatched with on-device pose threading
-    (no host fetch on the dispatch path); its ~25 ms tunnel fetch completes
-    in the background and is consumed `pipeline_depth` frames later at ~0
-    cost. Keyframe/failure logic therefore runs `pipeline_depth` frames
-    late; snapshot-epoch binding keeps stale frames from corrupting the map
-    (see _consume_track). The same window is applied to the init phase.
+    Tunnel-latency knobs (every host<->device interaction costs ~25-30 ms
+    on this backend):
+      * h2d_block > 1: host images transfer in stacked blocks — one
+        device_put per block, sliced on device.
+      * fetch_batch > 0: per-frame result scalars are fetched in stacked
+        flushes (_FetchBatch) instead of per-frame async copies.
+    Consumes run at the depth cap. Keyframe/failure logic therefore lags
+    ~pipeline_depth frames; stale keyframe candidates are re-tracked
+    against the current snapshot in _consume_track.
+    `prof`: optional dict accumulating per-phase wall seconds.
     """
+    import time as _time
     from collections import deque
-
-    def ready(h) -> bool:
-        """True when a handle's device program has finished (its fetch is
-        then ~free). Keyframe/failure decisions act as soon as results
-        land — pipeline_depth is only the in-flight CAP, so decision lag is
-        set by device latency (~1-2 frames through the tunnel), not depth."""
-        try:
-            return h["packed"].is_ready()
-        except (AttributeError, KeyError):
-            return False
 
     cfg = slam.cfg
     pending: deque = deque()
     init_pending: deque = deque()
-    for i, img, depth in frame_iter:
-        feats = (
-            img
-            if isinstance(img, frontend.Features)
-            else frontend.extract(
-                jnp.asarray(img), cfg.frontend.max_features,
-                cfg.frontend.quality_level, cfg.frontend.nms_radius,
-            )
-        )
+    depth_cap = max(pipeline_depth, fetch_batch + 2)
+    state = dict(track_batch=_FetchBatch(), init_batch=_FetchBatch())
+
+    def tick(key, t0):
+        if prof is not None:
+            prof[key] = prof.get(key, 0.0) + (_time.perf_counter() - t0)
+
+    def dispatch(i, feats, depth):
         if not slam.initialized:
-            h = slam._dispatch_init(i, feats)
+            t0 = _time.perf_counter()
+            h = slam._dispatch_init(i, feats, fetch=fetch_batch == 0)
             if h is not None:
+                if fetch_batch > 0:
+                    h["batch"] = state["init_batch"]
+                    h["slot"] = state["init_batch"].add(h["scalars"])
+                    if len(state["init_batch"]) >= fetch_batch:
+                        state["init_batch"].seal()
+                        state["init_batch"] = _FetchBatch()
                 init_pending.append(h)
-            while len(init_pending) > pipeline_depth:
+            tick("dispatch_init", t0)
+            t0 = _time.perf_counter()
+            while len(init_pending) > depth_cap:
                 if slam._consume_init(init_pending.popleft()):
                     init_pending.clear()
                     break
+            tick("consume_init", t0)
         else:
             init_pending.clear()  # drop superseded init attempts
+            t0 = _time.perf_counter()
             slam._apply_pending_ba()
-            pending.append(slam._dispatch_track(i, feats, depth))
-            while pending and (len(pending) > pipeline_depth or ready(pending[0])):
+            tick("apply_ba", t0)
+            t0 = _time.perf_counter()
+            h = slam._dispatch_track(i, feats, depth, fetch=fetch_batch == 0)
+            if fetch_batch > 0:
+                h["batch"] = state["track_batch"]
+                h["slot"] = state["track_batch"].add(h["packed"])
+                if len(state["track_batch"]) >= fetch_batch:
+                    state["track_batch"].seal()
+                    state["track_batch"] = _FetchBatch()
+            pending.append(h)
+            tick("dispatch_track", t0)
+            t0 = _time.perf_counter()
+            if len(pending) > depth_cap:
                 slam._consume_track(pending.popleft())
+            tick("consume_track", t0)
+
+    def extract_dev(img_dev):
+        t0 = _time.perf_counter()
+        f = frontend.extract(
+            img_dev, cfg.frontend.max_features,
+            cfg.frontend.quality_level, cfg.frontend.nms_radius,
+        )
+        tick("extract", t0)
+        return f
+
+    block: list = []  # host-image frames awaiting one blocked H2D
+
+    def flush_block():
+        if not block:
+            return
+        t0 = _time.perf_counter()
+        if len(block) == 1:
+            devs = [jax.device_put(block[0][1])]
+        else:
+            stacked = jax.device_put(np.stack([b[1] for b in block]))
+            devs = [stacked[k] for k in range(len(block))]
+        tick("h2d", t0)
+        for (i, _, depth), d in zip(block, devs):
+            dispatch(i, extract_dev(d), depth)
+        block.clear()
+
+    for i, img, depth in frame_iter:
+        if isinstance(img, frontend.Features):
+            flush_block()
+            dispatch(i, img, depth)
+        elif isinstance(img, np.ndarray):
+            block.append((i, img, depth))
+            if len(block) >= max(h2d_block, 1):
+                flush_block()
+        else:  # already a device array
+            flush_block()
+            dispatch(i, extract_dev(jnp.asarray(img)), depth)
+    flush_block()
     while init_pending:
         if slam._consume_init(init_pending.popleft()):
             break
