@@ -235,3 +235,84 @@ def test_scale_edge_jacobians_closed_form(rng):
             )
             fd = (float(r1[e]) - float(r0[e])) / eps
             np.testing.assert_allclose(float(Ji[e, d]), fd, atol=2e-3)
+
+
+def _synth_with_depth(rng, K=5, P=120, scale0=1.4):
+    """Scale-ambiguous monocular problem + metric depth measurements.
+
+    Initial state is the GT scene scaled by `scale0` — invisible to the
+    reprojection cost (pure gauge direction) but wrong against the
+    inverse-depth measurements, which carry the true metric scale.
+    """
+    X = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(4, 8, P)],
+        -1,
+    ).astype(np.float32)
+    Rs, ts, cams, pnts, uvs, ds = [], [], [], [], [], []
+    for k in range(K):
+        w = np.array([0.01 * k, -0.03 * k, 0.02 * k], np.float32)
+        R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        t = np.array([0.3 * k, 0.02 * k, 0.0], np.float32)
+        Rs.append(R)
+        ts.append(t)
+        Xc = X @ R.T + t
+        uv = np.stack(
+            [
+                INTR[0] * Xc[:, 0] / Xc[:, 2] + INTR[2],
+                INTR[1] * Xc[:, 1] / Xc[:, 2] + INTR[3],
+            ],
+            -1,
+        )
+        uvs.append(uv)
+        ds.append(Xc[:, 2])  # metric depth measurement (true scale)
+        cams.append(np.full(P, k, np.int32))
+        pnts.append(np.arange(P, dtype=np.int32))
+    R_gt, t_gt = np.stack(Rs), np.stack(ts)
+    cam_fixed = np.zeros(K, bool)
+    cam_fixed[0] = True  # t_gt[0]=0: scaling is exactly gauge, cam0 unmoved
+    prob, meta = ba.make_problem(
+        R=R_gt,
+        t=t_gt * scale0,
+        X=X * scale0,
+        cam=np.concatenate(cams),
+        pnt=np.concatenate(pnts),
+        uv=np.concatenate(uvs).astype(np.float32),
+        w=np.ones(K * P, np.float32),
+        intr=INTR,
+        cam_fixed=cam_fixed,
+        depth=np.concatenate(ds).astype(np.float32),
+        depth_weight=1.0,
+    )
+    return prob, meta, (R_gt, t_gt, X)
+
+
+def test_depth_residual_recovers_metric_scale(rng):
+    """The RGB-D inverse-depth residual pins the monocular scale gauge:
+    from a 1.4x-scaled init, use_depth=True pulls translations and points
+    back to metric, while use_depth=False leaves the scale untouched
+    (reprojection cost is scale-blind)."""
+    prob, meta, (R_gt, t_gt, X_gt) = _synth_with_depth(rng)
+    out, _ = ba.optimize(prob, n_iters=15, use_depth=True)
+    # Translation of the last camera recovers metric scale.
+    np.testing.assert_allclose(np.asarray(out.t)[-1], t_gt[-1], atol=5e-3)
+    real = np.asarray(meta.pt_ids) >= 0
+    X_out = np.asarray(out.X)[real]
+    np.testing.assert_allclose(
+        X_out, X_gt[np.asarray(meta.pt_ids)[real]], atol=2e-2
+    )
+    # Without the depth rows, the scaled solution is already optimal.
+    out2, _ = ba.optimize(prob, n_iters=15, use_depth=False)
+    np.testing.assert_allclose(
+        np.asarray(out2.t)[-1], 1.4 * t_gt[-1], atol=5e-3
+    )
+
+
+def test_depth_residual_zero_weight_is_noop(rng):
+    """use_depth=True with all-zero dw must match use_depth=False exactly."""
+    prob, _ = synth_problem(rng, K=4, P=80, pose_noise=0.03, point_noise=0.05)
+    out_a, cost_a = ba.optimize(prob, n_iters=6, use_depth=True)
+    out_b, cost_b = ba.optimize(prob, n_iters=6, use_depth=False)
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_a.t), np.asarray(out_b.t), atol=1e-6
+    )

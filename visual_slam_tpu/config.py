@@ -82,6 +82,10 @@ class BAConfig:
     # "chol" = explicit reduced camera system + dense Cholesky (exact LM
     # step; fine for short windows, fastest per-iteration on TPU).
     solver: str = "cg"
+    # RGB-D inverse-depth residual weight (information, pseudo-disparity
+    # units — see ba._depth_terms). Active only in use_depth mode; 0
+    # disables. The reference never uses its depth images in BA.
+    depth_weight: float = 1.0
 
 
 @dataclass

@@ -72,6 +72,13 @@ class BAProblem(NamedTuple):
     se_j: jnp.ndarray  # (E,) int32 scale-edge second keyframe
     se_meas: jnp.ndarray  # (E,) measured ||t_rel||
     se_w: jnp.ndarray  # (E,) scale-edge weights (0 = padding)
+    # Optional RGB-D inverse-depth residual (a capability the reference
+    # LACKS — it loads depth images but never uses them, SURVEY.md §2.1 #4).
+    # Zero-weight slots make the residual vanish, so monocular problems are
+    # unaffected; the math is additionally gated behind the static
+    # `use_depth` flag of `optimize` so the monocular hot path pays nothing.
+    dinv: jnp.ndarray  # (N,) measured inverse depth per slot (0 = none)
+    dw: jnp.ndarray  # (N,) depth-residual weights (0 = no constraint)
 
 
 class BAMeta(NamedTuple):
@@ -129,16 +136,31 @@ def pack_planar(cam, pnt, uv, w, n_points=None, min_p=64, min_q=8):
 
 def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
                  se_i=None, se_j=None, se_meas=None, se_w=None,
-                 min_p=64, min_q=8):
+                 min_p=64, min_q=8, depth=None, depth_weight=1.0):
     """Build a planar BAProblem from O-indexed observation arrays.
 
     X is given in the caller's landmark indexing; it is compacted to the
     packed rows. Returns (problem, meta); meta maps results back.
+
+    `depth` (O,) is an optional per-observation measured metric depth
+    (<=0 or NaN = no measurement); it becomes the inverse-depth residual
+    planes (dinv, dw) consumed when `optimize(..., use_depth=True)`.
     """
     R = np.asarray(R, np.float32)
     cam_s, uv_s, w_s, pt_valid, pt_ids, meta = pack_planar(
         cam, pnt, uv, w, min_p=min_p, min_q=min_q
     )
+    N = cam_s.shape[0]
+    dinv_s = np.zeros(N, np.float32)
+    dw_s = np.zeros(N, np.float32)
+    if depth is not None and depth_weight > 0:
+        depth = np.asarray(depth, np.float32)
+        filled = meta.slot_obs >= 0
+        dvals = np.zeros(N, np.float32)
+        dvals[filled] = depth[meta.slot_obs[filled]]
+        has_d = filled & np.isfinite(dvals) & (dvals > 1e-3)
+        dinv_s[has_d] = 1.0 / dvals[has_d]
+        dw_s[has_d] = depth_weight
     X = np.asarray(X, np.float32)
     Xp = np.zeros((len(pt_ids), 3), np.float32)
     real = pt_ids >= 0
@@ -162,6 +184,8 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
         se_j=jnp.asarray(np.asarray(se_j, np.int32)),
         se_meas=jnp.asarray(np.asarray(se_meas, np.float32)),
         se_w=jnp.asarray(np.asarray(se_w, np.float32)),
+        dinv=jnp.asarray(dinv_s),
+        dw=jnp.asarray(dw_s),
     )
     return prob, meta
 
@@ -222,6 +246,29 @@ def _jacobians_planar(Xc, Rg, iz, intr):
     return Jc, Jp
 
 
+def _depth_terms(p: BAProblem, Xc, Rg, iz):
+    """Inverse-depth residual planes (RGB-D mode).
+
+    r_d = fx * (1/z_pred - 1/z_meas) — a pseudo-disparity (unit baseline),
+    so the Huber threshold and the weighting live in the same pixel-like
+    units as the reprojection rows. Returns (r_d (N,), Jd_c (6,N),
+    Jd_p (3,N), wd (N,)) with wd already robust/validity weighted.
+    """
+    fx = p.intr[0]
+    r_d = fx * (iz - p.dinv)
+    s = -fx * iz * iz  # d r_d / d z
+    x, y = Xc[0], Xc[1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # d z / d(cam twist) = row 2 of [-hat(Xc) | I] = [y, -x, 0 | 0, 0, 1].
+    Jd_c = s * jnp.stack([y, -x, zero, zero, zero, one])  # (6,N)
+    Jd_p = s * Rg[2]  # d z / d X_w = third row of R_cw
+    rn = jnp.abs(r_d)
+    w_rob = jnp.where(rn <= HUBER_DELTA, 1.0, HUBER_DELTA / jnp.maximum(rn, 1e-12))
+    wd = p.dw * w_rob * (Xc[2] > 1e-6) * (p.dinv > 0)
+    return r_d, Jd_c, Jd_p, wd
+
+
 def _scale_edge_terms(p: BAProblem):
     """Closed-form scale-edge residuals and Jacobians.
 
@@ -248,16 +295,25 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _cost(p: BAProblem, axis_name=None, C_T=None) -> jnp.ndarray:
+def _cost(p: BAProblem, axis_name=None, C_T=None, use_depth: bool = False) -> jnp.ndarray:
     """Robust (Huber) total cost (psum-reduced over landmark shards)."""
     if C_T is None:
         C_T = _onehot(p)
-    r, Xc, _, _, _ = _project_planar(p, C_T)
+    r, Xc, Rg, iz, _ = _project_planar(p, C_T)
     rn2 = jnp.sum(r * r, axis=0)
     rn = jnp.sqrt(rn2 + 1e-12)
     rho = jnp.where(rn <= HUBER_DELTA, rn2, 2.0 * HUBER_DELTA * rn - HUBER_DELTA**2)
     zmask = (Xc[2] > 1e-6).astype(p.w.dtype)
-    cost_obs = _psum(jnp.sum(p.w * zmask * rho), axis_name)
+    cost = jnp.sum(p.w * zmask * rho)
+    if use_depth:
+        r_d, _, _, _ = _depth_terms(p, Xc, Rg, iz)
+        rd_abs = jnp.abs(r_d)
+        rho_d = jnp.where(
+            rd_abs <= HUBER_DELTA, r_d * r_d,
+            2.0 * HUBER_DELTA * rd_abs - HUBER_DELTA**2,
+        )
+        cost = cost + jnp.sum(p.dw * zmask * (p.dinv > 0) * rho_d)
+    cost_obs = _psum(cost, axis_name)
     # Scale edges are replicated: identical on every shard, added after psum.
     r_s, _, _ = _scale_edge_terms(p)
     return cost_obs + jnp.sum(p.se_w * r_s * r_s)
@@ -292,12 +348,18 @@ def _inv3_planar(V: jnp.ndarray) -> jnp.ndarray:
     return rows / det
 
 
-def _build_planar(p: BAProblem, lm_lambda, C_T, axis_name=None):
+def _build_planar(p: BAProblem, lm_lambda, C_T, axis_name=None,
+                  use_depth: bool = False):
     """All Hessian pieces in one pass over the slot planes.
 
     Returns U (K,6,6) damped+psum-ed (scale edges folded in), V_inv (3,3,P)
     local, g_c (K,6) psum-ed, g_p (3,P) local, W (6,3,K,P) local,
     H_ij (E,6,6) scale-edge cross blocks, and the (Jc, Jp, w_irls) planes.
+
+    With `use_depth`, the inverse-depth residual row's rank-1 contributions
+    are added to every plane BEFORE the one-hot contractions — the residual
+    information stays block-diagonal per row (I2 reprojection + scalar
+    depth), so no cross terms appear, exactly like the two pixel rows.
     """
     K = p.R.shape[0]
     P = p.X.shape[0]
@@ -308,15 +370,23 @@ def _build_planar(p: BAProblem, lm_lambda, C_T, axis_name=None):
     wJc = Jc * w_irls
     wJp = Jp * w_irls
     UO = jnp.einsum("rin,rjn->ijn", wJc, Jc, precision=HI)  # (6,6,N)
-    U = jnp.einsum("ijn,kn->kij", UO, C_T, precision=HI)  # (K,6,6)
     gcn = jnp.einsum("rin,rn->in", wJc, r, precision=HI)  # (6,N)
-    g_c = jnp.einsum("in,kn->ki", gcn, C_T, precision=HI)  # (K,6)
     VO = jnp.einsum("rin,rjn->ijn", wJp, Jp, precision=HI)  # (3,3,N)
-    V = VO.reshape(3, 3, P, Q).sum(-1)  # (3,3,P)
-    g_p = (
-        jnp.einsum("rin,rn->in", wJp, r, precision=HI).reshape(3, P, Q).sum(-1)
-    )  # (3,P)
+    gpn = jnp.einsum("rin,rn->in", wJp, r, precision=HI)  # (3,N)
     WO = jnp.einsum("rin,rjn->ijn", wJc, Jp, precision=HI)  # (6,3,N)
+    if use_depth:
+        r_d, Jd_c, Jd_p, wd = _depth_terms(p, Xc, Rg, iz)
+        wJd_c = Jd_c * wd  # (6,N)
+        wJd_p = Jd_p * wd  # (3,N)
+        UO = UO + wJd_c[:, None, :] * Jd_c[None, :, :]
+        gcn = gcn + wJd_c * r_d
+        VO = VO + wJd_p[:, None, :] * Jd_p[None, :, :]
+        gpn = gpn + wJd_p * r_d
+        WO = WO + wJd_c[:, None, :] * Jd_p[None, :, :]
+    U = jnp.einsum("ijn,kn->kij", UO, C_T, precision=HI)  # (K,6,6)
+    g_c = jnp.einsum("in,kn->ki", gcn, C_T, precision=HI)  # (K,6)
+    V = VO.reshape(3, 3, P, Q).sum(-1)  # (3,3,P)
+    g_p = gpn.reshape(3, P, Q).sum(-1)  # (3,P)
     W = jnp.einsum(
         "ijpq,kpq->ijkp", WO.reshape(6, 3, P, Q), C_T.reshape(K, P, Q),
         precision=HI,
@@ -437,9 +507,11 @@ def _solve_cg(p, U, V_inv, g_c, g_p, W, H_ij, cg_iters, axis_name):
 
 
 def _solve_delta(p: BAProblem, lm_lambda, cg_iters, points_fixed, C_T,
-                 axis_name=None, solver="chol"):
+                 axis_name=None, solver="chol", use_depth: bool = False):
     """One damped normal-equation solve: (delta_c (K,6), delta_p (P,3))."""
-    U, V_inv, g_c, g_p, W, H_ij, _ = _build_planar(p, lm_lambda, C_T, axis_name)
+    U, V_inv, g_c, g_p, W, H_ij, _ = _build_planar(
+        p, lm_lambda, C_T, axis_name, use_depth=use_depth
+    )
     g_c = _mask_cam(g_c, p.cam_fixed)
 
     if points_fixed:
@@ -466,7 +538,9 @@ def _apply(p: BAProblem, delta_c, delta_p) -> BAProblem:
 
 @partial(
     jax.jit,
-    static_argnames=("n_iters", "cg_iters", "points_fixed", "axis_name", "solver"),
+    static_argnames=(
+        "n_iters", "cg_iters", "points_fixed", "axis_name", "solver", "use_depth"
+    ),
 )
 def optimize(
     p: BAProblem,
@@ -476,6 +550,7 @@ def optimize(
     init_lambda: float = 1e-4,
     axis_name: str | None = None,
     solver: str = "chol",
+    use_depth: bool = False,
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Levenberg-Marquardt loop (≙ optimizer.optimize(10), LocalBA.py:39-42).
 
@@ -487,10 +562,11 @@ def optimize(
     def step(carry, _):
         prob, lam, cost = carry
         delta_c, delta_p = _solve_delta(
-            prob, lam, cg_iters, points_fixed, C_T, axis_name, solver
+            prob, lam, cg_iters, points_fixed, C_T, axis_name, solver,
+            use_depth=use_depth,
         )
         cand = _apply(prob, delta_c, delta_p)
-        new_cost = _cost(cand, axis_name, C_T)
+        new_cost = _cost(cand, axis_name, C_T, use_depth=use_depth)
         improved = new_cost < cost
         prob = jax.tree.map(lambda a, b: jnp.where(improved, a, b), cand, prob)
         cost = jnp.where(improved, new_cost, cost)
@@ -498,7 +574,7 @@ def optimize(
         lam = jnp.clip(lam, 1e-8, 1e2)
         return (prob, lam, cost), cost
 
-    cost0 = _cost(p, axis_name, C_T)
+    cost0 = _cost(p, axis_name, C_T, use_depth=use_depth)
     (p_out, _, cost_out), _ = jax.lax.scan(
         step, (p, jnp.asarray(init_lambda, p.R.dtype), cost0), None, length=n_iters
     )
@@ -518,10 +594,10 @@ def median_depth_normalize(p: BAProblem, point_valid=None) -> BAProblem:
     return p._replace(t=p.t / scale, X=p.X / scale)
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "use_depth"))
 def motion_only(
-    p: BAProblem, n_iters: int = 10
+    p: BAProblem, n_iters: int = 10, use_depth: bool = False
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Motion-only BA: all landmarks fixed, fixed cams (keyframes) untouched
     (≙ motionOnlyBundleAdjustement, LocalBA.py:195-229)."""
-    return optimize(p, n_iters=n_iters, points_fixed=True)
+    return optimize(p, n_iters=n_iters, points_fixed=True, use_depth=use_depth)

@@ -55,6 +55,10 @@ class SlamMap:
         self.obs_cam = np.zeros(O, np.int32)
         self.obs_pt = np.zeros(O, np.int32)
         self.obs_uv = np.zeros((O, 2), np.float32)
+        # Measured metric depth at the observation (RGB-D mode; 0 = none).
+        # The reference loads depth images but never uses them (SURVEY.md
+        # §2.1 #4) — this feeds the inverse-depth BA residual it lacks.
+        self.obs_depth = np.zeros(O, np.float32)
         self.obs_valid = np.zeros(O, bool)
         self.n_kf = 0
         self.n_pt = 0
@@ -91,9 +95,18 @@ class SlamMap:
         return ids
 
     def add_observations(
-        self, kf_id: int, pt_ids: np.ndarray, uvs: np.ndarray, desc: np.ndarray | None = None
+        self,
+        kf_id: int,
+        pt_ids: np.ndarray,
+        uvs: np.ndarray,
+        desc: np.ndarray | None = None,
+        depth: np.ndarray | None = None,
     ) -> None:
-        """≙ Map.AddPointToFrameCorrespondences (map.py:120-122)."""
+        """≙ Map.AddPointToFrameCorrespondences (map.py:120-122).
+
+        `depth`: optional (N,) measured metric depth per observation
+        (<=0 = no measurement) for the RGB-D inverse-depth BA residual.
+        """
         n = len(pt_ids)
         if self.n_obs + n > self.config.max_observations:
             raise RuntimeError("observation capacity exceeded")
@@ -101,6 +114,8 @@ class SlamMap:
         self.obs_cam[sl] = kf_id
         self.obs_pt[sl] = pt_ids
         self.obs_uv[sl] = uvs
+        if depth is not None:
+            self.obs_depth[sl] = depth
         self.obs_valid[sl] = True
         self.pt_views[pt_ids] += 1
         if desc is not None:
@@ -207,6 +222,7 @@ class SlamMap:
         intr: np.ndarray,
         fix_first: bool = True,
         scale_edge_weight: float = 10.0,
+        depth_weight: float = 0.0,
     ) -> ba_mod.BAProblem:
         """Device view of the full map for bundle adjustment
         (≙ the graph build in localBundleAdjustement, LocalBA.py:153-172,
@@ -246,6 +262,8 @@ class SlamMap:
             se_j=se_j,
             se_meas=se_meas,
             se_w=se_w,
+            depth=self.obs_depth if depth_weight > 0 else None,
+            depth_weight=depth_weight,
         )
         self.ba_meta = meta
         return prob

@@ -27,6 +27,23 @@ from jax import shard_map
 from ..models import ba as ba_mod
 
 
+def problem_specs(axis: str) -> ba_mod.BAProblem:
+    """PartitionSpecs for a landmark-sharded BAProblem over a 1-D mesh axis.
+
+    Shared by the single-process shard_map wrapper below and the multi-host
+    path (parallel/multihost.py), so the sharding contract has one source
+    of truth.
+    """
+    rep = P()
+    pts = P(axis)  # leading landmark axis
+    slots = P(None, axis)  # (2, N) planar pixel planes: shard axis 1
+    return ba_mod.BAProblem(
+        R=rep, t=rep, X=pts, pt_valid=pts, cam=pts, uv=slots, w=pts,
+        intr=rep, cam_fixed=rep, se_i=rep, se_j=rep, se_meas=rep, se_w=rep,
+        dinv=pts, dw=pts,
+    )
+
+
 def optimize_sharded(
     p: ba_mod.BAProblem,
     mesh: Mesh,
@@ -34,6 +51,7 @@ def optimize_sharded(
     cg_iters: int = 12,
     points_fixed: bool = False,
     solver: str = "chol",
+    use_depth: bool = False,
 ):
     """Run LM-Schur bundle adjustment with landmarks sharded over `mesh`
     (axis name taken from the mesh's single axis).
@@ -48,14 +66,8 @@ def optimize_sharded(
             f"landmark count {p.X.shape[0]} not divisible by mesh size {n}"
         )
 
-    rep = P()
-    pts = P(axis)  # leading landmark axis
-    slots = P(None, axis)  # (2, N) planar pixel planes: shard axis 1
-    in_specs = ba_mod.BAProblem(
-        R=rep, t=rep, X=pts, pt_valid=pts, cam=pts, uv=slots, w=pts,
-        intr=rep, cam_fixed=rep, se_i=rep, se_j=rep, se_meas=rep, se_w=rep,
-    )
-    out_specs = (in_specs, rep)
+    in_specs = problem_specs(axis)
+    out_specs = (in_specs, P())
 
     @partial(shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     def _run(prob):
@@ -66,6 +78,7 @@ def optimize_sharded(
             points_fixed=points_fixed,
             axis_name=axis,
             solver=solver,
+            use_depth=use_depth,
         )
 
     return _run(p)

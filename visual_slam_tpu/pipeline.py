@@ -231,13 +231,15 @@ def _mine_step(
     return idx2, keep, keep_loose, X
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "solver"))
-def _ba_step(prob, n_iters: int, cg_iters: int, solver: str = "chol"):
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "solver", "use_depth"))
+def _ba_step(prob, n_iters: int, cg_iters: int, solver: str = "chol",
+             use_depth: bool = False):
     """optimize + diagnostics in ONE computation: returns (optimized problem,
     diag [cost_before, cost_after, blown_fraction], bad-observation mask)."""
-    cost_before = ba_mod._cost(prob)
+    cost_before = ba_mod._cost(prob, use_depth=use_depth)
     out, cost_after = ba_mod.optimize(
-        prob, n_iters=n_iters, cg_iters=cg_iters, solver=solver
+        prob, n_iters=n_iters, cg_iters=cg_iters, solver=solver,
+        use_depth=use_depth,
     )
     err, w = ba_mod.reproj_errors(out)
     bad = (err > 3.0 * ba_mod.HUBER_DELTA) & (w > 0)
@@ -343,6 +345,16 @@ def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
         [(uv[:, 0] - cx) / fx * z, (uv[:, 1] - cy) / fy * z, z], axis=-1
     )
     return X.astype(np.float32), ok
+
+
+def _sample_depth(uv: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    """Measured metric depth at pixel locations; 0 where invalid/out of range
+    (feeds the RGB-D inverse-depth BA residual, models/ba._depth_terms)."""
+    h, w = depth.shape
+    xi = np.clip(uv[:, 0].astype(np.int32), 0, w - 1)
+    yi = np.clip(uv[:, 1].astype(np.int32), 0, h - 1)
+    z = depth[yi, xi]
+    return np.where((z > 0.05) & (z < 20.0), z, 0.0).astype(np.float32)
 
 
 class Slam:
@@ -522,7 +534,7 @@ class Slam:
         X, ok = _backproject_depth(uv, depth, self.cfg.intrinsics)
         sel = np.where(valid & ok)[0]
         pt_ids = self.map.add_points(X[sel], np.asarray(feats.desc)[sel])
-        self.map.add_observations(kf0, pt_ids, uv[sel])
+        self.map.add_observations(kf0, pt_ids, uv[sel], depth=X[sel, 2])
         mapped = np.zeros(self.cfg.frontend.max_features, bool)
         mapped[sel] = True
         self._loop_db.add(kf0, np.asarray(feats.desc), np.asarray(feats.valid))
@@ -745,7 +757,12 @@ class Slam:
         pt_ids = snap["pt_ids_np"][sel]
         uv_cur = np.asarray(feats.uv)[idx2_np[sel]]
         desc_cur = np.asarray(feats.desc)[idx2_np[sel]]
-        self.map.add_observations(kf_id, pt_ids, uv_cur, desc_cur)
+        d_cur = (
+            _sample_depth(uv_cur, depth)
+            if (cfg.use_depth and depth is not None)
+            else None
+        )
+        self.map.add_observations(kf_id, pt_ids, uv_cur, desc_cur, depth=d_cur)
         # Loop-closure place recognition: dispatch the MXU keyframe-scoring
         # pass now so its result fetch overlaps with the mining step below.
         loop_scores = self._dispatch_loop_scores(kf_id, feats)
@@ -828,7 +845,7 @@ class Slam:
         t_cw = self.map.kf_t[kf_id]
         Xw = (Xc[sel] - t_cw) @ R_cw
         pt_ids = self.map.add_points(Xw.astype(np.float32), np.asarray(feats.desc)[sel])
-        self.map.add_observations(kf_id, pt_ids, uv[sel])
+        self.map.add_observations(kf_id, pt_ids, uv[sel], depth=Xc[sel, 2])
         mapped_cur[sel] = True
 
     def _dispatch_ba(self, kf_id: int, scale_gauge: bool) -> None:
@@ -841,11 +858,15 @@ class Slam:
         against the pre-BA snapshot, which matches the reference's frozen
         local-map-copy semantics (deepcopy at main.py:154,333)."""
         cfg = self.cfg
+        use_depth = bool(cfg.use_depth and cfg.ba.depth_weight > 0)
         with self.timers.time("bundle_adjust"):
-            prob = self.map.to_ba_problem(self.cfg.intrinsics)
+            prob = self.map.to_ba_problem(
+                self.cfg.intrinsics,
+                depth_weight=cfg.ba.depth_weight if use_depth else 0.0,
+            )
             out, diag, bad = _ba_step(
                 prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters,
-                solver=cfg.ba.solver,
+                solver=cfg.ba.solver, use_depth=use_depth,
             )
         # Start the result copies now: by apply time (a couple of frames
         # later) they have landed and the apply's fetches are ~free. The
