@@ -32,3 +32,33 @@ def test_batched_matches_single():
     i2, p2 = single.positions()
     assert len(i0) == len(i2)
     np.testing.assert_allclose(p0, p2, atol=2e-2)  # batched vs single front-end
+
+
+def test_batched_distinct_sequences_device_sharded():
+    """Config #3 for real: DISTINCT pseudo-sequences (offset + reversed
+    windows of traj3), front-end batch sharded over multiple devices, each
+    result matching its own single-sequence run."""
+    import jax
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.multi import run_batched
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset, WindowView
+
+    ds = ICLNUIMDataset(DATA)
+    seqs = [WindowView(ds, 0), WindowView(ds, 120, reverse=True, length=400)]
+    cfg = SlamConfig()
+    cfg.use_depth = True
+    slams = run_batched(seqs, cfg, 0, 30)
+    assert all(s.initialized for s in slams)
+    # Front-end ran device-parallel (8 virtual CPU devices in the suite).
+    assert slams[0].stats["frontend_devices"] >= 2
+    i0, p0 = slams[0].positions()
+    i1, p1 = slams[1].positions()
+    # Genuinely different trajectories.
+    assert np.abs(p0 - p1).max() > 1e-3
+    # Each matches its own single-sequence (unsharded) run.
+    for seq, slam in zip(seqs, slams):
+        single = run_sequence(seq, cfg, 0, 30)
+        _, ps = single.positions()
+        _, pb = slam.positions()
+        np.testing.assert_allclose(pb, ps, atol=2e-2)

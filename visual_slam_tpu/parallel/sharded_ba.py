@@ -82,3 +82,43 @@ def optimize_sharded(
         )
 
     return _run(p)
+
+
+def optimize_large_sharded(
+    p: ba_mod.BAProblem,
+    mesh: Mesh,
+    n_iters: int = 10,
+    cg_iters: int = 12,
+    points_fixed: bool = False,
+    init_lambda: float = 1e-4,
+):
+    """Landmark-sharded LARGE-MAP bundle adjustment (BASELINE config #5).
+
+    Same sharding contract as optimize_sharded, but the per-shard solver is
+    models/ba_large.py: W stays per-slot ((N,6,3), never (K,P)-dense) and
+    camera reductions are segment sums, so memory is linear in observations
+    — the path that reaches ~5k keyframes x ~1M landmarks.
+    """
+    from ..models import ba_large
+
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    if p.X.shape[0] % n:
+        raise ValueError(
+            f"landmark count {p.X.shape[0]} not divisible by mesh size {n}"
+        )
+    in_specs = problem_specs(axis)
+    out_specs = (in_specs, P())
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
+    def _run(prob):
+        return ba_large.optimize(
+            prob,
+            n_iters=n_iters,
+            cg_iters=cg_iters,
+            points_fixed=points_fixed,
+            init_lambda=init_lambda,
+            axis_name=axis,
+        )
+
+    return _run(p)

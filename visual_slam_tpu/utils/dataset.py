@@ -123,6 +123,57 @@ class ICLNUIMDataset:
         return tum_rows_to_matrices(rows)
 
 
+@dataclass
+class WindowView:
+    """A pseudo-sequence view over a dataset: offset / strided / reversed
+    frame window. Used to synthesize DISTINCT sequences for the batched
+    multi-sequence driver (BASELINE config #3) when only one physical
+    sequence exists locally — e.g. WindowView(ds, 100) and
+    WindowView(ds, 300, reverse=True) exercise genuinely different
+    trajectories through the same scene."""
+
+    base: "ICLNUIMDataset"
+    offset: int = 0
+    length: int | None = None
+    step: int = 1
+    reverse: bool = False
+
+    @property
+    def intrinsics(self):
+        return self.base.intrinsics
+
+    def __len__(self) -> int:
+        n = (len(self.base) - self.offset) // max(self.step, 1)
+        return n if self.length is None else min(self.length, n)
+
+    def _map(self, i: int) -> int:
+        n = len(self)
+        j = (n - 1 - i) if self.reverse else i
+        return self.offset + j * self.step
+
+    def rgb(self, i: int) -> np.ndarray:
+        return self.base.rgb(self._map(i))
+
+    def depth(self, i: int) -> np.ndarray:
+        return self.base.depth(self._map(i))
+
+    def gray(self, i: int) -> np.ndarray:
+        return self.base.gray(self._map(i))
+
+    def frames(self, start: int = 0, stop: int | None = None):
+        stop = stop if stop is not None else len(self)
+        for i in range(start, stop):
+            yield i, self.gray(i), self.depth(i)
+
+    def ground_truth(self) -> np.ndarray | None:
+        """Ground truth reindexed to this view's frame numbering."""
+        gt = self.base.ground_truth()
+        if gt is None:
+            return None
+        idx = np.array([self._map(i) for i in range(len(self))])
+        return gt[np.clip(idx, 0, len(gt) - 1)]
+
+
 def tum_rows_to_matrices(rows: np.ndarray) -> np.ndarray:
     """TUM rows (N,8) -> (N,4,4) cam->world homogeneous transforms."""
     t = rows[:, 1:4]
