@@ -3,22 +3,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from visual_slam_tpu.ops import detect, match
-from visual_slam_tpu.ops.pallas import detect_kernel, match_kernel
-
-
-def test_match_kernel_matches_xla(rng):
-    d1 = jnp.asarray(rng.integers(0, 2**32, (256, 8), dtype=np.uint32))
-    d2 = jnp.asarray(rng.integers(0, 2**32, (256, 8), dtype=np.uint32))
-    v1 = jnp.asarray(rng.uniform(size=256) > 0.1)
-    v2 = jnp.asarray(rng.uniform(size=256) > 0.1)
-    i_ref, d_ref, g_ref = match.match_ratio_test(d1, d2, v1, v2, cross_check=True)
-    i_pal, d_pal, g_pal = match_kernel.match_ratio_test_pallas(
-        d1, d2, v1, v2, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
-    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-3)
-    np.testing.assert_array_equal(np.asarray(g_pal), np.asarray(g_ref))
+from visual_slam_tpu.ops import detect
+from visual_slam_tpu.ops.pallas import detect_kernel
 
 
 def test_detect_kernel_matches_xla():

@@ -6,4 +6,4 @@ everything, one HBM round trip) where XLA's auto-fusion makes poor choices.
 Kernels run in interpreter mode automatically on non-TPU backends, so the
 CPU test suite exercises the same code paths.
 """
-from . import match_kernel, detect_kernel  # noqa: F401
+from . import detect_kernel  # noqa: F401
