@@ -220,3 +220,79 @@ def test_pnp_matches_cv2(rng):
     R_cv, _ = cv2.Rodrigues(rvec)
     np.testing.assert_allclose(np.asarray(R_est), R_cv, atol=2e-3)
     np.testing.assert_allclose(np.asarray(t_est), tvec.squeeze(), atol=2e-2)
+
+
+def test_triangulate_nviews(rng):
+    """Batched n-view DLT vs the reference's per-point SVD formulation
+    (helper_functions.py:330-348) and mask semantics."""
+    n_pts, n_views = 40, 5
+    X = rng.uniform(-2, 2, size=(n_pts, 3)).astype(np.float64)
+    X[:, 2] += 6.0
+    K = np.array(
+        [[INTR[0], 0, INTR[2]], [0, INTR[1], INTR[3]], [0, 0, 1]], np.float64
+    )
+    Ps, uvs = [], []
+    for v in range(n_views):
+        w = rng.normal(scale=0.05, size=3)
+        Rv = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        tv = np.array([0.4 * v - 1.0, 0.1 * v, 0.05 * v])
+        P = K @ np.concatenate([Rv, tv[:, None]], axis=1)
+        Xc = X @ Rv.T + tv
+        uv = Xc[:, :2] / Xc[:, 2:3] * np.array([INTR[0], INTR[1]]) + np.array(
+            [INTR[2], INTR[3]]
+        )
+        Ps.append(P)
+        uvs.append(uv)
+    P_all = np.stack(Ps).astype(np.float32)  # (V,3,4)
+    uv_all = np.stack(uvs, axis=1).astype(np.float32)  # (N,V,2)
+
+    Xh = triangulate.triangulate_nviews(jnp.asarray(P_all), jnp.asarray(uv_all))
+    ours = np.asarray(triangulate.dehomogenize(Xh))
+
+    # Oracle: the reference's 3n x (4+n) SVD system, per point.
+    def ref_nviews(P_list, ip_list):
+        n = len(P_list)
+        M = np.zeros([3 * n, 4 + n])
+        for i, (x, p) in enumerate(zip(ip_list, P_list)):
+            M[3 * i : 3 * i + 3, :4] = p
+            M[3 * i : 3 * i + 3, 4 + i] = -x
+        V = np.linalg.svd(M)[-1]
+        Xh = V[-1, :4]
+        return Xh[:3] / Xh[3]
+
+    want = np.array(
+        [
+            ref_nviews(Ps, [np.append(uv_all[i, v], 1.0) for v in range(n_views)])
+            for i in range(n_pts)
+        ]
+    )
+    # Noise-free, both formulations recover the exact null space / GT.
+    np.testing.assert_allclose(ours, want, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(ours, X, atol=1e-3, rtol=1e-4)
+
+    # Noisy measurements: stays close to GT (the two formulations weight
+    # noise differently, so GT — not the oracle — is the noisy yardstick).
+    uv_noisy = uv_all + rng.normal(scale=0.3, size=uv_all.shape).astype(np.float32)
+    Xn = np.asarray(
+        triangulate.dehomogenize(
+            triangulate.triangulate_nviews(
+                jnp.asarray(P_all), jnp.asarray(uv_noisy)
+            )
+        )
+    )
+    np.testing.assert_allclose(Xn, X, atol=5e-2, rtol=5e-3)
+
+    # Mask semantics: zero-weight padding views must not perturb the result.
+    P_pad = np.concatenate([P_all, np.zeros((2, 3, 4), np.float32)])
+    uv_pad = np.concatenate(
+        [uv_noisy, rng.uniform(0, 640, (n_pts, 2, 2)).astype(np.float32)], axis=1
+    )
+    w = np.concatenate(
+        [np.ones((n_pts, n_views), np.float32), np.zeros((n_pts, 2), np.float32)],
+        axis=1,
+    )
+    Xh_pad = triangulate.triangulate_nviews(
+        jnp.asarray(P_pad), jnp.asarray(uv_pad), jnp.asarray(w)
+    )
+    padded = np.asarray(triangulate.dehomogenize(Xh_pad))
+    np.testing.assert_allclose(padded, Xn, atol=1e-4)

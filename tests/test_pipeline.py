@@ -97,3 +97,34 @@ def test_relocalization_recovers_from_garbage_frames():
         slam.process(i, ds.gray(i), ds.depth(i))
     last = slam.trajectory[-1]
     assert last.n_tracked >= 10
+
+
+def test_live_view_dump(tmp_path):
+    """LiveView writes complete, current artifacts during a run (the
+    reference viewer's headless analog, src/v2/viewer.py:9-257)."""
+    import json
+
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+    from visual_slam_tpu.utils import viz
+
+    ds = ICLNUIMDataset(DATA)
+    gt = ds.ground_truth()
+    live = viz.LiveView(
+        str(tmp_path), every=20, gt_positions=gt[:, :3, 3], plot=True
+    )
+    run_sequence(ds, SlamConfig(), 0, 90, on_frame=live)
+
+    assert live.n_updates >= 4
+    state = json.load(open(tmp_path / "state.json"))
+    assert state["frame"] >= 80
+    assert state["initialized"]
+    assert state["points"] > 50
+    assert (tmp_path / "trajectory.png").stat().st_size > 0
+    ply = (tmp_path / "map.ply").read_text().splitlines()
+    assert ply[0] == "ply"
+    n_vertex = int([l for l in ply if l.startswith("element vertex")][0].split()[-1])
+    assert n_vertex == state["points"]
+    # No partial temp files left behind.
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp.")]

@@ -52,6 +52,40 @@ def triangulate_dlt_pairwise(
     return linalg_mod.solve_homogeneous(A)
 
 
+def triangulate_nviews(
+    P: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Batched n-view linear triangulation with per-view validity weights.
+
+    ≙ the reference's `triangulate_nviews` (src/v2/helper_functions.py:330-348),
+    which loops a per-point SVD of a 3n x (4+n) system with auxiliary scale
+    unknowns. Here each view contributes the two standard DLT rows
+    (u*P[2]-P[0], v*P[2]-P[1]; Hartley-Zisserman 12.2) — algebraically the
+    same null space without the per-view auxiliary unknowns, so the system
+    stays (2V,4) and the whole batch reduces to one (N,4,4) Gram + eigh,
+    fixed-shape for any view count via zero-weight padding rows.
+
+    Args:
+      P: (N,V,3,4) per-point, per-view projection matrices (world->pixel),
+         or (V,3,4) shared across points.
+      uv: (N,V,2) pixel measurements.
+      w: optional (N,V) weights; 0 disables a view (padding). Default: all 1.
+    Returns:
+      (N,4) homogeneous world points (unit norm; `dehomogenize` to get xyz).
+    """
+    if P.ndim == 3:
+        P = jnp.broadcast_to(P[None], (uv.shape[0],) + P.shape)
+    ru = uv[..., 0:1] * P[..., 2, :] - P[..., 0, :]  # (N,V,4)
+    rv = uv[..., 1:2] * P[..., 2, :] - P[..., 1, :]  # (N,V,4)
+    A = jnp.concatenate([ru, rv], axis=1)  # (N,2V,4)
+    if w is not None:
+        # Weighted solve (rows normalized BEFORE weighting, so non-binary
+        # weights act as true per-view confidences, not just masks).
+        ww = jnp.concatenate([w, w], axis=1)  # (N,2V)
+        return linalg_mod.solve_weighted_homogeneous(A, ww)
+    return linalg_mod.solve_homogeneous(A)
+
+
 def dehomogenize(Xh: jnp.ndarray) -> jnp.ndarray:
     """(...,4) homogeneous -> (...,3) euclidean with safe divide."""
     w = Xh[..., 3:4]

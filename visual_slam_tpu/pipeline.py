@@ -1137,6 +1137,7 @@ def run_pipelined(
     h2d_block: int = 1,
     fetch_batch: int = 0,
     prof: dict | None = None,
+    on_frame=None,
 ):
     """Drive a Slam over (frame_idx, image_or_feats, depth) tuples with a
     `pipeline_depth`-deep in-flight window.
@@ -1240,6 +1241,10 @@ def run_pipelined(
         else:  # already a device array
             flush_block()
             dispatch(i, extract_dev(jnp.asarray(img)), depth)
+        if on_frame is not None:
+            # Observability hook (≙ the reference viewer's per-frame Queue
+            # feed, viewer.py:21-35). Map state lags ~pipeline_depth frames.
+            on_frame(slam, i)
     flush_block()
     while init_pending:
         if slam._consume_init(init_pending.popleft()):
@@ -1257,6 +1262,7 @@ def run_sequence(
     verbose=False,
     pipelined: bool = False,
     pipeline_depth: int = 6,
+    on_frame=None,
 ):
     """Run SLAM over a dataset; returns the Slam object. When no config is
     given, map capacities are sized to the frame range.
@@ -1264,15 +1270,22 @@ def run_sequence(
     pipelined=True runs the deep software pipeline (see run_pipelined):
     device work for up to `pipeline_depth` frames stays in flight while
     their result fetches complete in the background.
+
+    on_frame: optional per-frame observability callback `(slam, i) -> None`
+    (e.g. utils.viz.LiveView — the reference viewer's headless analog).
     """
     if config is None:
         n = (stop if stop is not None else len(dataset)) - start
         config = size_config_for(n)
     slam = Slam(config)
     if pipelined:
-        return run_pipelined(slam, dataset.frames(start, stop), pipeline_depth)
+        return run_pipelined(
+            slam, dataset.frames(start, stop), pipeline_depth, on_frame=on_frame
+        )
     for i, gray, depth in dataset.frames(start, stop):
         slam.process(i, gray, depth)
+        if on_frame is not None:
+            on_frame(slam, i)
         if verbose and i % 25 == 0:
             last = slam.trajectory[-1] if slam.trajectory else None
             print(
@@ -1294,6 +1307,13 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--rgbd", action="store_true", help="metric RGB-D mode")
     ap.add_argument("--pose-graph", action="store_true", help="final pose-graph refinement")
+    ap.add_argument(
+        "--live-dump",
+        default=None,
+        help="directory for incremental trajectory.png/map.ply/state.json "
+        "during the run (headless live viewer)",
+    )
+    ap.add_argument("--live-every", type=int, default=25, help="live-dump period (frames)")
     ap.add_argument("--export-traj", default=None, help="PNG trajectory plot path")
     ap.add_argument("--export-ply", default=None, help="PLY map export path")
     ap.add_argument("--export-g2o", default=None, help="g2o graph export path")
@@ -1308,8 +1328,21 @@ def main():
     cfg = size_config_for(args.frames)
     cfg.frontend.max_features = args.features
     cfg.use_depth = args.rgbd
+    on_frame = None
+    if args.live_dump:
+        from .utils import viz
+
+        gt_all = ds.ground_truth()
+        on_frame = viz.LiveView(
+            args.live_dump,
+            every=args.live_every,
+            gt_positions=gt_all[:, :3, 3] if gt_all is not None else None,
+        )
     t0 = time.time()
-    slam = run_sequence(ds, cfg, args.start, args.start + args.frames, verbose=args.verbose)
+    slam = run_sequence(
+        ds, cfg, args.start, args.start + args.frames,
+        verbose=args.verbose, on_frame=on_frame,
+    )
     if args.pose_graph and slam.initialized:
         slam.optimize_pose_graph()
     dt = time.time() - t0

@@ -62,6 +62,93 @@ def save_ply(
             f.write(row + "\n")
 
 
+class LiveView:
+    """Incremental headless viewer: the run-time observability analog of the
+    reference's Pangolin process (src/v2/viewer.py:9-257, fed per frame via
+    update_pose/update_image Queues). Instead of a GL window, it atomically
+    rewrites a watch directory every `every` frames:
+
+      state.json       frame index, keyframe/point counts, current position
+      trajectory.png   top-down + side trajectory (with GT when available)
+      map.ply          current landmark cloud
+
+    Files are written to `<name>.tmp` then os.replace()d, so an external
+    watcher (image viewer on refresh, `watch cat state.json`, a point-cloud
+    tool reloading map.ply) always sees a complete, current artifact.
+
+    Use as the `on_frame` callback of pipeline.run_sequence/run_pipelined,
+    or via the CLI: `python -m visual_slam_tpu.pipeline --live-dump DIR`.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        every: int = 25,
+        gt_positions: np.ndarray | None = None,
+        plot: bool = True,
+    ):
+        import os
+
+        self.out_dir = out_dir
+        self.every = max(int(every), 1)
+        self.gt = gt_positions
+        self.plot = plot
+        self.n_updates = 0
+        self._last = None
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _atomic(self, name: str):
+        import os
+
+        # Keep the real extension on the temp file (matplotlib infers the
+        # image format from it).
+        return (
+            os.path.join(self.out_dir, ".tmp." + name),
+            os.path.join(self.out_dir, name),
+        )
+
+    def __call__(self, slam, frame_idx: int) -> None:
+        import json
+        import os
+
+        if self._last is not None and frame_idx - self._last < self.every:
+            return
+        self._last = frame_idx
+        self.n_updates += 1
+
+        idxs, est = slam.positions()
+        state = {
+            "frame": int(frame_idx),
+            "initialized": bool(slam.initialized),
+            "keyframes": int(slam.stats.get("keyframes", 0)),
+            "points": int(np.asarray(slam.map.pt_valid).sum()),
+            "trajectory_len": len(idxs),
+            "position": [float(x) for x in est[-1]] if len(est) else None,
+            "updates": self.n_updates,
+        }
+        tmp, path = self._atomic("state.json")
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, path)
+
+        if len(est) >= 2 and self.plot:
+            gt = None
+            if self.gt is not None:
+                gt = self.gt[np.clip(np.asarray(idxs), 0, len(self.gt) - 1)]
+            tmp, path = self._atomic("trajectory.png")
+            plot_trajectory(est, gt, tmp, title=f"frame {frame_idx}")
+            os.replace(tmp, path)
+
+        if state["points"]:
+            tmp, path = self._atomic("map.ply")
+            save_ply(
+                tmp,
+                np.asarray(slam.map.pt_xyz),
+                valid=np.asarray(slam.map.pt_valid).astype(bool),
+            )
+            os.replace(tmp, path)
+
+
 def draw_matches(
     img1: np.ndarray,
     uv1: np.ndarray,
