@@ -150,14 +150,16 @@ def run(prob, mesh_n, gt):
         prob, mesh, n_iters=args.iters, cg_iters=args.cg_iters,
         init_lambda=args.lm_lambda,
     )
-    jax.block_until_ready(cost)
+    # Sync by fetching a value: on the tunneled axon backend,
+    # block_until_ready can return before device completion.
+    float(np.asarray(cost))
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     out, cost = sharded_ba.optimize_large_sharded(
         prob, mesh, n_iters=args.iters, cg_iters=args.cg_iters,
         init_lambda=args.lm_lambda,
     )
-    jax.block_until_ready(cost)
+    float(np.asarray(cost))
     t_warm = time.perf_counter() - t0
     R_gt, t_gt, X_gt = gt
     t_err = float(np.abs(np.asarray(out.t) - t_gt).max())

@@ -30,3 +30,23 @@ def test_detect_kernel_matches_xla():
         sorted(np.asarray(s_ref)[np.asarray(v_ref)])[-5:],
         rtol=1e-3,
     )
+
+
+def test_seg_kernels_match_xla(rng):
+    """Camera-segment reduce/expand (decomposed one-hot MXU kernels) vs the
+    XLA scatter/gather fallbacks, interpreter mode."""
+    from visual_slam_tpu.ops.pallas import seg_kernel
+
+    for C, N, K in [(8, 5000, 300), (27, 4096, 257)]:
+        data = jnp.asarray(rng.normal(size=(C, N)).astype(np.float32))
+        cam = jnp.asarray(rng.integers(0, K, N), jnp.int32)
+        x = jnp.asarray(rng.normal(size=(C, K)).astype(np.float32))
+        red = seg_kernel.cam_reduce(data, cam, K, interpret=True)
+        red_ref = seg_kernel.cam_reduce_xla(data, cam, K)
+        np.testing.assert_allclose(
+            np.asarray(red), np.asarray(red_ref), rtol=1e-5, atol=1e-4
+        )
+        exp = seg_kernel.cam_expand(x, cam, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(exp), np.asarray(seg_kernel.cam_expand_xla(x, cam))
+        )

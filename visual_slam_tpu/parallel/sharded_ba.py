@@ -18,7 +18,7 @@ run (test_parallel.py asserts this).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -66,6 +66,21 @@ def optimize_sharded(
             f"landmark count {p.X.shape[0]} not divisible by mesh size {n}"
         )
 
+    return _sharded_runner(
+        mesh, n_iters, cg_iters, points_fixed, solver, use_depth
+    )(p)
+
+
+@lru_cache(maxsize=64)
+def _sharded_runner(mesh, n_iters, cg_iters, points_fixed, solver, use_depth):
+    """Build-and-cache the jitted shard_map runner.
+
+    Two lessons measured on TPU v5e at config-#5 scale: shard_map called
+    OUTSIDE jit dispatches op-by-op (~7x slower than the same computation
+    under an outer jit), and a fresh closure per call re-traces the whole
+    LM scan (~7 s even on compile-cache hits) — so the jitted callable is
+    cached per (mesh, static-params)."""
+    axis = mesh.axis_names[0]
     in_specs = problem_specs(axis)
     out_specs = (in_specs, P())
 
@@ -81,7 +96,7 @@ def optimize_sharded(
             use_depth=use_depth,
         )
 
-    return _run(p)
+    return jax.jit(_run)
 
 
 def optimize_large_sharded(
@@ -95,9 +110,10 @@ def optimize_large_sharded(
     """Landmark-sharded LARGE-MAP bundle adjustment (BASELINE config #5).
 
     Same sharding contract as optimize_sharded, but the per-shard solver is
-    models/ba_large.py: W stays per-slot ((N,6,3), never (K,P)-dense) and
-    camera reductions are segment sums, so memory is linear in observations
-    — the path that reaches ~5k keyframes x ~1M landmarks.
+    models/ba_large.py: channel-major (18,N) coupling, never (K,P)-dense,
+    with camera gathers/reductions as Pallas one-hot MXU kernels on TPU —
+    memory linear in observations, the path that reaches ~5k keyframes x
+    ~1M landmarks.
     """
     from ..models import ba_large
 
@@ -107,10 +123,28 @@ def optimize_large_sharded(
         raise ValueError(
             f"landmark count {p.X.shape[0]} not divisible by mesh size {n}"
         )
+    return _large_runner(mesh, n_iters, cg_iters, points_fixed, init_lambda)(p)
+
+
+@lru_cache(maxsize=64)
+def _large_runner(mesh, n_iters, cg_iters, points_fixed, init_lambda):
+    """Cached jitted runner — see _sharded_runner for the why."""
+    from ..models import ba_large
+
+    axis = mesh.axis_names[0]
     in_specs = problem_specs(axis)
     out_specs = (in_specs, P())
 
-    @partial(shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=out_specs,
+        # The Pallas segment kernels inside ba_large don't annotate
+        # varying-mesh-axes on their out_shapes; skip the vma check (the
+        # sharding contract is validated by the numeric-identity tests).
+        check_vma=False,
+    )
     def _run(prob):
         return ba_large.optimize(
             prob,
@@ -121,4 +155,4 @@ def optimize_large_sharded(
             axis_name=axis,
         )
 
-    return _run(p)
+    return jax.jit(_run)
