@@ -128,3 +128,33 @@ def test_live_view_dump(tmp_path):
     assert n_vertex == state["points"]
     # No partial temp files left behind.
     assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp.")]
+
+
+def test_windowed_matches_per_frame():
+    """W-frame device-side tracking windows (run_windowed / _track_window)
+    must produce the same map and trajectory quality as the per-frame loop
+    (same gates, on-device keyframe rule, event replay)."""
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    ds = ICLNUIMDataset(DATA)
+    gt = ds.ground_truth()
+
+    cfg = SlamConfig()
+    cfg.use_depth = True
+    ref = run_sequence(ds, cfg, 0, 90)
+    cfg2 = SlamConfig()
+    cfg2.use_depth = True
+    win = run_sequence(ds, cfg2, 0, 90, windowed=True, window=6)
+
+    assert win.stats["keyframes"] == ref.stats["keyframes"]
+    assert len(win.trajectory) == len(ref.trajectory)
+    idxs, est = win.positions()
+    gt_pos = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
+    rmse_w, _ = ate_rmse(est, gt_pos, align_scale=False)
+    idxs_r, est_r = ref.positions()
+    rmse_r, _ = ate_rmse(est_r, gt_pos, align_scale=False)
+    # Same math modulo PRNG-key consumption order.
+    assert rmse_w < max(2.0 * rmse_r, 0.02), (rmse_w, rmse_r)

@@ -99,6 +99,109 @@ def _track_step(
     return packed, R, t, inliers, idx2
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "max_features", "quality_level", "nms_radius", "interpret",
+        "n_hyps", "refine_iters", "cross_check",
+        "max_interval", "min_tracked", "min_track_pts",
+    ),
+)
+def _track_window(
+    grays,          # (W,H,Wd) float32 — a whole window of frames
+    snap_desc,
+    snap_xyz,
+    snap_valid,
+    prev_R,
+    prev_t,
+    intr,
+    keys,           # (W,2) PRNG keys, one per frame
+    n_local,        # i32: snapshot valid-point count (keyframe 0.9 rule)
+    since_kf0,      # i32: frames since last keyframe at window start
+    ratio,
+    max_hamming,
+    threshold_px,
+    tracked_ratio,
+    *,
+    window: int,
+    max_features: int,
+    quality_level: float,
+    nms_radius: int,
+    interpret: bool,
+    n_hyps: int,
+    refine_iters: int,
+    cross_check: bool,
+    max_interval: int,
+    min_tracked: int,
+    min_track_pts: int,
+):
+    """A WINDOW of tracking steps as ONE device dispatch.
+
+    The per-frame loop (extract -> match -> PnP -> keyframe rule,
+    ≙ main.py:173-221) runs as a lax.scan over the stacked frames with the
+    pose threaded through the carry, and the keyframe decision (main.py:221)
+    evaluated ON DEVICE. The host fetches one (W,15) packed array per
+    window instead of one packed array per frame — on this backend every
+    host<->device interaction costs ~25-30 ms of tunnel latency, which is
+    the end-to-end throughput ceiling, so cutting dispatch+fetch count ~W×
+    is the lever the per-frame pipelined loop can't reach.
+
+    Safe to fuse: the front-end inside the scan is the Pallas path
+    (_extract_pallas_fused — no XLA conv/gather fusions, which misbehave
+    on this backend).
+
+    Returns stacked per-frame results; rows after an in-window keyframe or
+    tracking failure are tracked against the then-stale snapshot and are
+    REPLAYED by the host driver (run_windowed).
+    """
+    n_local_f = jnp.maximum(n_local, 1).astype(jnp.float32)
+
+    def step(carry, inp):
+        pR, pt, since = carry
+        gray, key = inp
+        feats = frontend._extract_pallas_fused(
+            gray, max_features, interpret, quality_level, nms_radius
+        )
+        idx2, dist, good = match.match_ratio_test(
+            snap_desc, feats.desc, snap_valid, feats.valid, ratio=ratio,
+            max_distance=max_hamming, cross_check=cross_check,
+        )
+        R, t, inliers, n_in = pnp.solve_pnp_ransac(
+            key, snap_xyz, feats.uv[idx2], intr, good,
+            guess_R=pR, guess_t=pt,
+            n_hyps=n_hyps, threshold_px=threshold_px,
+            refine_iters=refine_iters,
+        )
+        since = since + 1
+        fail = n_in < min_track_pts
+        # Keyframe rule ≙ main.py:221, evaluated on device.
+        is_kf = (
+            ((since > max_interval) | (n_in < min_tracked))
+            & (n_in.astype(jnp.float32) < tracked_ratio * n_local_f)
+            & jnp.logical_not(fail)
+        )
+        # On failure hold the previous pose (the host relocalizes).
+        Rn = jnp.where(fail, pR, R)
+        tn = jnp.where(fail, pt, t)
+        packed = jnp.concatenate(
+            [
+                Rn.reshape(9),
+                tn,
+                n_in[None].astype(jnp.float32),
+                is_kf[None].astype(jnp.float32),
+                fail[None].astype(jnp.float32),
+            ]
+        )
+        out = (packed, inliers, idx2, feats.uv, feats.desc, feats.score,
+               feats.valid)
+        return (Rn, tn, since), out
+
+    (_, _, _), outs = jax.lax.scan(
+        step, (prev_R, prev_t, since_kf0), (grays, keys), length=window
+    )
+    return outs  # each stacked (W, ...)
+
+
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
 def _init_step(
     f0_desc,
@@ -604,6 +707,48 @@ class Slam:
             packed=packed,
             inliers=inliers,
             idx2=idx2,
+        )
+
+    def _dispatch_track_window(self, grays_np):
+        """Dispatch a stacked window of frames as ONE device program
+        (see _track_window). Returns a handle with stacked device outputs."""
+        cfg = self.cfg
+        snap = self._snapshot
+        W = grays_np.shape[0]
+        ks = jax.random.split(self.key, W + 1)
+        self.key = ks[0]
+        packed, inl, idx2, uv, desc, score, valid = _track_window(
+            jax.device_put(np.ascontiguousarray(grays_np)),
+            snap["desc"], snap["xyz"], snap["valid"],
+            jnp.asarray(self._prev_R), jnp.asarray(self._prev_t),
+            self.intr, ks[1:],
+            jnp.int32(snap["n_valid"]), jnp.int32(self._frames_since_kf),
+            cfg.frontend.match_ratio, cfg.frontend.max_hamming,
+            cfg.tracking.pnp_threshold_px, cfg.keyframe.tracked_ratio,
+            window=W,
+            max_features=cfg.frontend.max_features,
+            quality_level=cfg.frontend.quality_level,
+            nms_radius=cfg.frontend.nms_radius,
+            interpret=jax.default_backend() != "tpu",
+            n_hyps=cfg.tracking.pnp_hypotheses,
+            refine_iters=cfg.tracking.refine_iters,
+            cross_check=cfg.frontend.cross_check,
+            max_interval=cfg.keyframe.max_interval,
+            min_tracked=cfg.keyframe.min_tracked,
+            min_track_pts=cfg.tracking.min_tracked_points,
+        )
+        _fetch_async(packed)
+        return dict(
+            packed=packed, inl=inl, idx2=idx2, uv=uv, desc=desc,
+            score=score, valid=valid, snap=snap, snap_epoch=self._snap_epoch,
+        )
+
+    def _window_features(self, h, r):
+        """Features view of window row r (device slices; fetched lazily by
+        whoever consumes them)."""
+        return frontend.Features(
+            uv=h["uv"][r], desc=h["desc"][r], score=h["score"][r],
+            valid=h["valid"][r],
         )
 
     def _consume_track(self, h):
@@ -1254,6 +1399,139 @@ def run_pipelined(
     return slam
 
 
+def run_windowed(
+    slam: "Slam",
+    frame_iter,
+    window: int = 8,
+    on_frame=None,
+):
+    """Drive a Slam with W-frame device-side tracking windows.
+
+    Each window is ONE device dispatch + ONE packed fetch (_track_window:
+    the extract->match->PnP loop and the keyframe rule run on device via
+    lax.scan). The host walks the window's packed results up to the first
+    EVENT (keyframe wanted / tracking failure), handles the event with the
+    existing per-frame machinery, and replays the remaining frames — they
+    were tracked against a snapshot the event invalidated. Keyframes occur
+    every ~10-20 frames, so most windows complete event-free and the
+    per-frame ~25-30 ms tunnel round trips amortize ~W×.
+
+    The init phase runs through the pipelined per-frame dispatches
+    (run_pipelined) until initialized.
+
+    Measured (TPU v5e via tunnel, 200-frame lr, warm): tracking-phase
+    18.9 fps windowed vs 15.1 fps pipelined-depth-6 (+25%); end-to-end the
+    modes tie (~23-25 fps) because synchronous keyframe insertion
+    (~0.3 s x ~10 keyframes: forced BA apply + mining + loop scoring) is
+    the remaining latency term in both. Kept opt-in; the per-frame
+    pipelined loop stays the default.
+    """
+    it = iter(frame_iter)
+    carry: list = []  # frames to (re)process first: [(idx, gray, depth)]
+
+    def next_frame():
+        if carry:
+            return carry.pop(0)
+        try:
+            return next(it)
+        except StopIteration:
+            return None
+
+    if not slam.initialized:
+        if slam.cfg.use_depth:
+            # RGB-D initializes from the first frame's depth (no two-view
+            # search): plain per-frame processing.
+            while not slam.initialized:
+                fr = next_frame()
+                if fr is None:
+                    return slam
+                slam.process(fr[0], fr[1], fr[2])
+                if on_frame is not None:
+                    on_frame(slam, fr[0])
+        else:
+            # Monocular: pipelined two-view init attempts (overlap the
+            # per-frame dispatch fetches).
+            def init_iter():
+                while not slam.initialized:
+                    fr = next_frame()
+                    if fr is None:
+                        return
+                    yield fr
+                    if on_frame is not None:
+                        on_frame(slam, fr[0])
+
+            run_pipelined(slam, init_iter(), pipeline_depth=window)
+            if not slam.initialized:
+                return slam
+
+    while True:
+        win = []
+        while len(win) < window:
+            fr = next_frame()
+            if fr is None:
+                break
+            win.append(fr)
+        if not win:
+            return slam
+        slam._apply_pending_ba()
+        n_real = len(win)
+        grays = [w[1] for w in win] + [win[-1][1]] * (window - n_real)
+        h = slam._dispatch_track_window(np.stack(grays))
+        packed = np.asarray(h["packed"])  # ONE fetch for the whole window
+        for r in range(n_real):
+            idx = win[r][0]
+            R_np = packed[r, :9].reshape(3, 3).copy()
+            t_np = packed[r, 9:12].copy()
+            n_in = int(packed[r, 12])
+            is_kf = packed[r, 13] > 0.5
+            fail = packed[r, 14] > 0.5
+            if fail:
+                # Same failure handling as _consume_track: relocalize
+                # against the global map, else constant-position fallback.
+                slam.stats["track_failures"] = (
+                    slam.stats.get("track_failures", 0) + 1
+                )
+                feats = slam._window_features(h, r)
+                ok, R2, t2, _, _, n2 = slam._relocalize(feats)
+                slam._pose_dev = None
+                if ok:
+                    slam.stats["relocalizations"] = (
+                        slam.stats.get("relocalizations", 0) + 1
+                    )
+                    slam._prev_R, slam._prev_t = R2, t2
+                    R_np, t_np, n_in = R2, t2, n2
+                else:
+                    R_np = slam._prev_R.copy()
+                    t_np = slam._prev_t.copy()
+                slam._frames_since_kf += 1
+                slam.trajectory.append(
+                    FrameResult(idx, R_np, t_np, n_in, False)
+                )
+                if on_frame is not None:
+                    on_frame(slam, idx)
+                # Later rows tracked through the failed pose chain: replay.
+                carry[:0] = win[r + 1 : n_real]
+                break
+            slam._prev_R, slam._prev_t = R_np, t_np
+            slam._frames_since_kf += 1
+            if is_kf:
+                feats = slam._window_features(h, r)
+                slam._insert_keyframe(
+                    idx, feats, R_np, t_np, h["inl"][r], h["idx2"][r],
+                    win[r][2], snap=h["snap"],
+                )
+                slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
+                if on_frame is not None:
+                    on_frame(slam, idx)
+                # Later rows reference the superseded snapshot: replay.
+                carry[:0] = win[r + 1 : n_real]
+                break
+            slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
+            if on_frame is not None:
+                on_frame(slam, idx)
+    return slam
+
+
 def run_sequence(
     dataset,
     config: SlamConfig | None = None,
@@ -1262,6 +1540,8 @@ def run_sequence(
     verbose=False,
     pipelined: bool = False,
     pipeline_depth: int = 6,
+    windowed: bool = False,
+    window: int = 8,
     on_frame=None,
 ):
     """Run SLAM over a dataset; returns the Slam object. When no config is
@@ -1271,6 +1551,9 @@ def run_sequence(
     device work for up to `pipeline_depth` frames stays in flight while
     their result fetches complete in the background.
 
+    windowed=True runs `window`-frame device-side tracking windows instead
+    (see run_windowed): one dispatch + one fetch per window.
+
     on_frame: optional per-frame observability callback `(slam, i) -> None`
     (e.g. utils.viz.LiveView — the reference viewer's headless analog).
     """
@@ -1278,6 +1561,10 @@ def run_sequence(
         n = (stop if stop is not None else len(dataset)) - start
         config = size_config_for(n)
     slam = Slam(config)
+    if windowed:
+        return run_windowed(
+            slam, dataset.frames(start, stop), window, on_frame=on_frame
+        )
     if pipelined:
         return run_pipelined(
             slam, dataset.frames(start, stop), pipeline_depth, on_frame=on_frame
@@ -1307,6 +1594,11 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--rgbd", action="store_true", help="metric RGB-D mode")
     ap.add_argument("--pose-graph", action="store_true", help="final pose-graph refinement")
+    ap.add_argument(
+        "--windowed", action="store_true",
+        help="W-frame device-side tracking windows (one dispatch per window)",
+    )
+    ap.add_argument("--window", type=int, default=8, help="window size")
     ap.add_argument(
         "--live-dump",
         default=None,
@@ -1342,6 +1634,7 @@ def main():
     slam = run_sequence(
         ds, cfg, args.start, args.start + args.frames,
         verbose=args.verbose, on_frame=on_frame,
+        windowed=args.windowed, window=args.window,
     )
     if args.pose_graph and slam.initialized:
         slam.optimize_pose_graph()
