@@ -743,14 +743,6 @@ class Slam:
             score=score, valid=valid, snap=snap, snap_epoch=self._snap_epoch,
         )
 
-    def _window_features(self, h, r):
-        """Features view of window row r (device slices; fetched lazily by
-        whoever consumes them)."""
-        return frontend.Features(
-            uv=h["uv"][r], desc=h["desc"][r], score=h["score"][r],
-            valid=h["valid"][r],
-        )
-
     def _consume_track(self, h):
         """Fetch a dispatched tracking step and run the host-side frame logic
         (pose bookkeeping, keyframe rule, keyframe insertion)."""
@@ -880,7 +872,8 @@ class Slam:
 
     def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None, snap=None):
         cfg = self.cfg
-        self._apply_pending_ba(force=True)
+        with self.timers.time("kf_ba_wait"):
+            self._apply_pending_ba(force=True)
         if snap is None:
             snap = self._snapshot
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
@@ -893,9 +886,10 @@ class Slam:
         # One grouped flush for everything this keyframe needs on the host
         # (inliers + the frame's feature arrays): each separate blocking
         # fetch costs a full ~30 ms tunnel round trip.
-        inl_np, idx2_np, _, _, _ = _fetch_now(
-            inliers, idx2, feats.uv, feats.desc, feats.valid
-        )
+        with self.timers.time("kf_fetch"):
+            inl_np, idx2_np, _, _, _ = _fetch_now(
+                inliers, idx2, feats.uv, feats.desc, feats.valid
+            )
         # Tracked landmarks gain an observation in the new keyframe
         # (≙ main.py:232).
         sel = np.where(inl_np)[0]
@@ -918,16 +912,20 @@ class Slam:
             self.stats["culled"] += self.map.cull_points(cfg.keyframe.cull_min_views)
         # Mine new landmarks (≙ main.py:237-318): depth backprojection in
         # RGB-D mode, two-view triangulation in monocular mode.
-        if self.cfg.use_depth and depth is not None:
-            self._mine_depth_points(kf_id, feats, mapped, depth)
-        else:
-            self._mine_new_points(kf_id, feats, mapped)
+        with self.timers.time("kf_mine"):
+            if self.cfg.use_depth and depth is not None:
+                self._mine_depth_points(kf_id, feats, mapped, depth)
+            else:
+                self._mine_new_points(kf_id, feats, mapped)
         # Full bundle adjustment over the map (≙ main.py:322-323),
         # dispatched async; applied after a couple of tracked frames.
-        self._finish_keyframe(kf_id, feats, mapped, frame_idx)
-        if loop_scores is not None:
-            self._maybe_close_loop(kf_id, feats, loop_scores)
-        self._dispatch_ba(kf_id, scale_gauge=False)
+        with self.timers.time("kf_snapshot"):
+            self._finish_keyframe(kf_id, feats, mapped, frame_idx)
+        with self.timers.time("kf_loop"):
+            if loop_scores is not None:
+                self._maybe_close_loop(kf_id, feats, loop_scores)
+        with self.timers.time("kf_dispatch_ba"):
+            self._dispatch_ba(kf_id, scale_gauge=False)
 
     def _mine_new_points(self, kf_id, feats, mapped_cur):
         """Triangulate unmapped matches between the previous and new keyframe."""
@@ -1477,7 +1475,21 @@ def run_windowed(
         n_real = len(win)
         grays = [w[1] for w in win] + [win[-1][1]] * (window - n_real)
         h = slam._dispatch_track_window(np.stack(grays))
-        packed = np.asarray(h["packed"])  # ONE fetch for the whole window
+        # ONE flush for the whole window's outputs (~0.8 MB): fetching the
+        # event row's slices later instead costs a fresh ~130 ms dispatch+
+        # round trip per keyframe (measured kf_fetch timer).
+        packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np = (
+            _fetch_now(
+                h["packed"], h["inl"], h["idx2"], h["uv"], h["desc"],
+                h["score"], h["valid"],
+            )
+        )
+
+        def row_feats(r):
+            return frontend.Features(
+                uv=uv_np[r], desc=desc_np[r], score=score_np[r],
+                valid=valid_np[r],
+            )
         for r in range(n_real):
             idx = win[r][0]
             R_np = packed[r, :9].reshape(3, 3).copy()
@@ -1491,7 +1503,7 @@ def run_windowed(
                 slam.stats["track_failures"] = (
                     slam.stats.get("track_failures", 0) + 1
                 )
-                feats = slam._window_features(h, r)
+                feats = row_feats(r)
                 ok, R2, t2, _, _, n2 = slam._relocalize(feats)
                 slam._pose_dev = None
                 if ok:
@@ -1515,9 +1527,9 @@ def run_windowed(
             slam._prev_R, slam._prev_t = R_np, t_np
             slam._frames_since_kf += 1
             if is_kf:
-                feats = slam._window_features(h, r)
+                feats = row_feats(r)
                 slam._insert_keyframe(
-                    idx, feats, R_np, t_np, h["inl"][r], h["idx2"][r],
+                    idx, feats, R_np, t_np, inl_np[r], idx2m_np[r],
                     win[r][2], snap=h["snap"],
                 )
                 slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
