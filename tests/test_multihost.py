@@ -9,8 +9,6 @@ and must agree with the single-process solver to float tolerance.
 """
 import importlib.util
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -27,29 +25,10 @@ def _load_worker_module():
 
 
 def test_multihost_ba_matches_single_process(tmp_path):
+    from visual_slam_tpu.parallel import multihost
+
     out = str(tmp_path / "mh.npz")
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    env.update(
-        VSLAM_COORDINATOR="localhost:23457",
-        VSLAM_NUM_PROCESSES="2",
-        VSLAM_LOCAL_DEVICES="4",
-    )
-    procs = []
-    for pid in range(2):
-        e = dict(env, VSLAM_PROCESS_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, WORKER, out],
-                env=e,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                cwd=REPO,
-            )
-        )
-    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{o[-2000:]}"
+    outs = multihost.spawn_worker_fleet(2, 4, [WORKER, out])
     assert all("8 global devices" in o for o in outs), outs
 
     # Single-process reference on the same deterministic problem.

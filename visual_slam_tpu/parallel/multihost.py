@@ -98,3 +98,82 @@ def gather_shards(x: jax.Array) -> list[tuple[tuple, np.ndarray]]:
     return [
         (tuple(s.index), np.asarray(s.data)) for s in x.addressable_shards
     ]
+
+
+def spawn_worker_fleet(
+    n_hosts: int,
+    n_local_devices: int,
+    worker_argv: list[str],
+    coordinator_port: int | None = None,
+    timeout_s: float = 420.0,
+) -> list[str]:
+    """Spawn `n_hosts` worker processes that join one jax.distributed
+    cluster, wait for all, and return their combined stdout logs.
+
+    Shared launch machinery for tests/test_multihost.py and
+    __graft_entry__.dryrun_multihost. Picks a free coordinator port unless
+    one is given (a stale process on a hard-coded port would deadlock every
+    later fleet), and kills the whole fleet on any timeout/failure so no
+    worker outlives a failed launch.
+
+    Raises RuntimeError (with the worker log tail) on nonzero exit or
+    timeout.
+    """
+    import socket
+    import subprocess
+    import sys
+
+    if coordinator_port is None:
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            coordinator_port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env.update(
+        VSLAM_COORDINATOR=f"localhost:{coordinator_port}",
+        VSLAM_NUM_PROCESSES=str(n_hosts),
+        VSLAM_LOCAL_DEVICES=str(n_local_devices),
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = []
+    files = []
+    try:
+        import tempfile
+
+        for pid in range(n_hosts):
+            e = dict(env, VSLAM_PROCESS_ID=str(pid))
+            # stdout to a temp FILE, not a PIPE: a worker blocked on a full
+            # 64 KB pipe would stall the gloo collectives every other
+            # worker is waiting in.
+            f = tempfile.TemporaryFile()
+            files.append(f)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable] + worker_argv,
+                    env=e,
+                    stdout=f,
+                    stderr=subprocess.STDOUT,
+                    cwd=repo,
+                )
+            )
+        for p in procs:
+            try:
+                p.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                raise RuntimeError(
+                    f"multihost worker pid={p.pid} timed out after {timeout_s}s"
+                )
+        logs = []
+        for f in files:
+            f.seek(0)
+            logs.append(f.read().decode())
+        for p, log in zip(procs, logs):
+            if p.returncode != 0:
+                raise RuntimeError(f"multihost worker failed:\n{log[-2000:]}")
+        return logs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in files:
+            f.close()

@@ -743,6 +743,24 @@ class Slam:
             score=score, valid=valid, snap=snap, snap_epoch=self._snap_epoch,
         )
 
+    def _handle_track_failure(self, feats):
+        """Shared tracking-failure path (the reference has no recovery,
+        SURVEY.md §5): relocalize against the global map, else keep the
+        previous pose (constant-position fallback). Reseeds the device pose
+        chain — the threaded chain now carries the failed frame's
+        garbage/fallback pose. Returns (relocalized, R_np, t_np, n)."""
+        self.stats["track_failures"] = self.stats.get("track_failures", 0) + 1
+        ok, R_np, t_np, _, _, n = self._relocalize(feats)
+        self._pose_dev = None
+        if not ok:
+            R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
+        else:
+            self.stats["relocalizations"] = (
+                self.stats.get("relocalizations", 0) + 1
+            )
+            self._prev_R, self._prev_t = R_np, t_np
+        return ok, R_np, t_np, n
+
     def _consume_track(self, h):
         """Fetch a dispatched tracking step and run the host-side frame logic
         (pose bookkeeping, keyframe rule, keyframe insertion)."""
@@ -758,30 +776,24 @@ class Slam:
         n_tracked = int(packed_np[12])
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
-            # Tracking failure (the reference has no recovery, SURVEY.md §5).
-            # Try relocalizing against the global map; else keep previous
-            # pose (constant-position fallback).
-            self.stats["track_failures"] = self.stats.get("track_failures", 0) + 1
-            ok, R_np, t_np, _, _, n_tracked = self._relocalize(feats)
-            relocalized = ok
-            # Reseed the device pose chain from the host pose: the threaded
-            # chain now carries the failed frame's garbage/fallback pose.
-            self._pose_dev = None
-            if not ok:
-                R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
-            else:
-                self.stats["relocalizations"] = self.stats.get("relocalizations", 0) + 1
-                self._prev_R, self._prev_t = R_np, t_np
+            relocalized, R_np, t_np, n_tracked = self._handle_track_failure(
+                feats
+            )
         else:
             R_np, t_np = R.copy(), t.copy()
             self._prev_R, self._prev_t = R_np, t_np
         self._frames_since_kf += 1
         n_local = snap["n_valid"]  # host-cached (a device fetch costs ~24 ms)
         # Keyframe rule ≙ main.py:221.
+        # float32 threshold on purpose: the windowed mode evaluates this
+        # same rule ON DEVICE in f32 (_track_window); computing it here in
+        # f64 could flip borderline frames between the two modes.
         is_kf = (
             self._frames_since_kf > cfg.keyframe.max_interval
             or n_tracked < cfg.keyframe.min_tracked
-        ) and n_tracked < cfg.keyframe.tracked_ratio * max(n_local, 1)
+        ) and n_tracked < float(
+            np.float32(cfg.keyframe.tracked_ratio) * np.float32(max(n_local, 1))
+        )
         is_kf = is_kf and n_tracked >= cfg.tracking.min_tracked_points
         # A relocalized frame's match indices refer to the global snapshot,
         # not the tracking snapshot — never promote it in the same step.
@@ -815,7 +827,10 @@ class Slam:
             still_kf = (
                 self._frames_since_kf > cfg.keyframe.max_interval
                 or n2 < cfg.keyframe.min_tracked
-            ) and n2 < cfg.keyframe.tracked_ratio * max(n_local2, 1)
+            ) and n2 < float(
+                np.float32(cfg.keyframe.tracked_ratio)
+                * np.float32(max(n_local2, 1))
+            )
             if still_kf and n2 >= cfg.tracking.min_tracked_points:
                 is_kf = True
                 R_np = p2[:9].reshape(3, 3).copy()
@@ -1498,23 +1513,7 @@ def run_windowed(
             is_kf = packed[r, 13] > 0.5
             fail = packed[r, 14] > 0.5
             if fail:
-                # Same failure handling as _consume_track: relocalize
-                # against the global map, else constant-position fallback.
-                slam.stats["track_failures"] = (
-                    slam.stats.get("track_failures", 0) + 1
-                )
-                feats = row_feats(r)
-                ok, R2, t2, _, _, n2 = slam._relocalize(feats)
-                slam._pose_dev = None
-                if ok:
-                    slam.stats["relocalizations"] = (
-                        slam.stats.get("relocalizations", 0) + 1
-                    )
-                    slam._prev_R, slam._prev_t = R2, t2
-                    R_np, t_np, n_in = R2, t2, n2
-                else:
-                    R_np = slam._prev_R.copy()
-                    t_np = slam._prev_t.copy()
+                _, R_np, t_np, n_in = slam._handle_track_failure(row_feats(r))
                 slam._frames_since_kf += 1
                 slam.trajectory.append(
                     FrameResult(idx, R_np, t_np, n_in, False)
