@@ -62,3 +62,32 @@ def test_batched_distinct_sequences_device_sharded():
         _, ps = single.positions()
         _, pb = slam.positions()
         np.testing.assert_allclose(pb, ps, atol=2e-2)
+
+
+def test_batched_windowed_tracking_device_sharded():
+    """Config #3, full loop: the whole tracking scan (extract -> match ->
+    PnP -> keyframe rule) runs batched over sequences and sharded over
+    devices (run_batched_windowed); each sequence must match its own
+    single-sequence windowed run in quality."""
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.multi import run_batched_windowed
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset, WindowView
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    ds = ICLNUIMDataset(DATA)
+    gt = ds.ground_truth()
+    seqs = [WindowView(ds, 0), WindowView(ds, 40)]
+    cfg = SlamConfig()
+    cfg.use_depth = True
+    slams = run_batched_windowed(seqs, cfg, 0, 60, window=6)
+    assert all(s.initialized for s in slams)
+    # Tracking (not just the front-end) ran device-parallel.
+    assert slams[0].stats["frontend_devices"] >= 2
+    for b, (seq, slam) in enumerate(zip(seqs, slams)):
+        idxs, est = slam.positions()
+        assert idxs[-1] >= 55  # ran to the end of the range
+        assert slam.stats["keyframes"] >= 1
+        gt_idx = np.clip(np.asarray(idxs) + seq.offset, 0, len(gt) - 1)
+        rmse, _ = ate_rmse(est, gt[gt_idx, :3, 3], align_scale=False)
+        assert rmse < 0.03, (b, rmse)

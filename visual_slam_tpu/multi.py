@@ -14,6 +14,8 @@ sequence).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,6 +92,195 @@ def run_batched(
                 slam._try_initialize(i, fb, depth)
             else:
                 slam._track(i, fb, depth)
+    for slam in slams:
+        slam.stats["frontend_devices"] = n_devices_used
+    return slams
+
+
+@lru_cache(maxsize=16)
+def _batched_window_fn(window: int, statics: tuple):
+    """jit(vmap(_track_window)) cached per (window, static params).
+
+    The sequence axis maps over images, snapshots, poses, keys, and
+    counters; intrinsics and thresholds are shared.
+    """
+    from functools import partial as _partial
+
+    from .pipeline import _track_window
+
+    kw = dict(statics)
+    fn = _partial(_track_window, window=window, **kw)
+    return jax.jit(
+        jax.vmap(
+            fn,
+            in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None),
+        )
+    )
+
+
+def run_batched_windowed(
+    sequences: list,
+    config: SlamConfig | None = None,
+    start: int = 0,
+    stop: int | None = None,
+    window: int = 8,
+    mesh: Mesh | None = None,
+) -> list[Slam]:
+    """Run B sequences with the FULL tracking loop batched over devices.
+
+    Upgrade of run_batched (which device-shards only the front-end): here
+    each step dispatches ONE program computing a `window`-frame tracking
+    scan (extract -> match -> PnP -> on-device keyframe rule,
+    pipeline._track_window) for EVERY sequence, vmapped over the sequence
+    axis and sharded over `mesh` — each device tracks its own sequences
+    end-to-end on chip. Host-side per-sequence bookkeeping (keyframe
+    insertion, mining, BA dispatch, event replays) consumes each
+    sequence's slice of the one fetched batch (pipeline._walk_window).
+
+    Sequences advance independent cursors (an event in one sequence replays
+    only its own frames); finished sequences feed dummy windows until all
+    are done. Init runs in lockstep with the device-sharded batched
+    front-end (as in run_batched).
+    """
+    from .pipeline import _fetch_now, _walk_window
+
+    B = len(sequences)
+    cfg = config or SlamConfig()
+    if mesh is None:
+        mesh = _auto_mesh(B)
+    n_mesh = int(mesh.devices.size) if mesh is not None else 1
+    pad_b = (-B) % n_mesh
+    Bp = B + pad_b
+    slams = [Slam(cfg) for _ in range(B)]
+    stops = [(stop if stop is not None else len(ds)) for ds in sequences]
+
+    # ---- init phase: lockstep per-frame with the sharded batched front-end.
+    i = start
+    n_devices_used = 1
+    while not all(s.initialized for s in slams) and i < min(stops):
+        grays = np.stack([ds.gray(i) for ds in sequences])
+        if pad_b:
+            grays = np.concatenate([grays, grays[:pad_b]], axis=0)
+        if mesh is not None:
+            gdev = jax.device_put(grays, NamedSharding(mesh, P("seq", None, None)))
+        else:
+            gdev = jnp.asarray(grays)
+        feats = frontend.extract_batch(gdev, cfg.frontend.max_features)
+        n_devices_used = max(n_devices_used, len(feats.uv.sharding.device_set))
+        for b, slam in enumerate(slams):
+            fb = jax.tree.map(lambda a: a[b], feats)
+            depth = sequences[b].depth(i) if cfg.use_depth else None
+            if not slam.initialized:
+                slam._try_initialize(i, fb, depth)
+            else:
+                slam._track(i, fb, depth)
+        i += 1
+
+    # ---- windowed phase: per-sequence cursors, one batched dispatch/window.
+    cursors = [i] * B
+    carrys: list[list] = [[] for _ in range(B)]
+    last_gray = [np.asarray(sequences[b].gray(max(i - 1, 0))) for b in range(B)]
+
+    def next_frame(b):
+        if carrys[b]:
+            return carrys[b].pop(0)
+        j = cursors[b]
+        if j >= stops[b]:
+            return None
+        cursors[b] += 1
+        depth = sequences[b].depth(j) if cfg.use_depth else None
+        return (j, np.asarray(sequences[b].gray(j)), depth)
+
+    statics = (
+        ("max_features", cfg.frontend.max_features),
+        ("quality_level", cfg.frontend.quality_level),
+        ("nms_radius", cfg.frontend.nms_radius),
+        ("interpret", jax.default_backend() != "tpu"),
+        ("n_hyps", cfg.tracking.pnp_hypotheses),
+        ("refine_iters", cfg.tracking.refine_iters),
+        ("cross_check", cfg.frontend.cross_check),
+        ("max_interval", cfg.keyframe.max_interval),
+        ("min_tracked", cfg.keyframe.min_tracked),
+        ("min_track_pts", cfg.tracking.min_tracked_points),
+    )
+    fn = _batched_window_fn(window, statics)
+
+    while True:
+        wins = []
+        any_live = False
+        for b in range(B):
+            win = []
+            while len(win) < window:
+                fr = next_frame(b)
+                if fr is None:
+                    break
+                win.append(fr)
+            if win:
+                any_live = True
+                last_gray[b] = win[-1][1]
+            wins.append(win)
+        if not any_live:
+            break
+        for slam in slams:
+            slam._apply_pending_ba()
+        grays = np.stack(
+            [
+                np.stack(
+                    [w[1] for w in win]
+                    + [last_gray[b]] * (window - len(win))
+                )
+                for b, win in enumerate(wins)
+            ]
+        )
+        if pad_b:
+            grays = np.concatenate([grays, grays[:pad_b]], axis=0)
+        # Stack per-sequence snapshots/poses/keys along the sequence axis.
+        snaps = [s._snapshot for s in slams]
+        def stack(key_):
+            arrs = [sn[key_] for sn in snaps] + [snaps[0][key_]] * pad_b
+            return jnp.stack(arrs)
+        keys_in = jnp.stack([s.key for s in slams])
+        split = jax.vmap(lambda k: jax.random.split(k, window + 1))(keys_in)
+        split_np = np.asarray(split)
+        for b, slam in enumerate(slams):
+            slam.key = jnp.asarray(split_np[b, 0])
+        keys = jnp.asarray(
+            np.concatenate([split_np[:, 1:], split_np[:1, 1:].repeat(pad_b, 0)])
+            if pad_b else split_np[:, 1:]
+        )
+        seq_sh = (
+            NamedSharding(mesh, P("seq")) if mesh is not None else None
+        )
+        def put(x, spec_dims):
+            if mesh is None:
+                return jnp.asarray(x)
+            return jax.device_put(
+                x, NamedSharding(mesh, P("seq", *([None] * spec_dims)))
+            )
+        outs = fn(
+            put(grays, 2),
+            put(stack("desc"), 2), put(stack("xyz"), 2), put(stack("valid"), 1),
+            put(np.stack([s._prev_R for s in slams] + [slams[0]._prev_R] * pad_b), 2),
+            put(np.stack([s._prev_t for s in slams] + [slams[0]._prev_t] * pad_b), 1),
+            slams[0].intr,
+            put(np.asarray(keys), 2),
+            put(np.asarray([sn["n_valid"] for sn in snaps] + [0] * pad_b, np.int32), 0),
+            put(np.asarray([s._frames_since_kf for s in slams] + [0] * pad_b, np.int32), 0),
+            cfg.frontend.match_ratio,
+            cfg.frontend.max_hamming,
+            cfg.tracking.pnp_threshold_px,
+            cfg.keyframe.tracked_ratio,
+        )
+        n_devices_used = max(
+            n_devices_used, len(outs[0].sharding.device_set)
+        )
+        fetched = _fetch_now(*outs)  # ONE flush: (Bp,W,...) each
+        for b, slam in enumerate(slams):
+            win = wins[b]
+            if not win:
+                continue
+            arrays = tuple(a[b] for a in fetched)
+            carrys[b][:0] = _walk_window(slam, win, arrays, snaps[b])
     for slam in slams:
         slam.stats["frontend_devices"] = n_devices_used
     return slams

@@ -1500,47 +1500,64 @@ def run_windowed(
             )
         )
 
-        def row_feats(r):
-            return frontend.Features(
-                uv=uv_np[r], desc=desc_np[r], score=score_np[r],
-                valid=valid_np[r],
-            )
-        for r in range(n_real):
-            idx = win[r][0]
-            R_np = packed[r, :9].reshape(3, 3).copy()
-            t_np = packed[r, 9:12].copy()
-            n_in = int(packed[r, 12])
-            is_kf = packed[r, 13] > 0.5
-            fail = packed[r, 14] > 0.5
-            if fail:
-                _, R_np, t_np, n_in = slam._handle_track_failure(row_feats(r))
-                slam._frames_since_kf += 1
-                slam.trajectory.append(
-                    FrameResult(idx, R_np, t_np, n_in, False)
-                )
-                if on_frame is not None:
-                    on_frame(slam, idx)
-                # Later rows tracked through the failed pose chain: replay.
-                carry[:0] = win[r + 1 : n_real]
-                break
-            slam._prev_R, slam._prev_t = R_np, t_np
+        carry[:0] = _walk_window(
+            slam,
+            win,
+            (packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np),
+            h["snap"],
+            on_frame,
+        )
+    return slam
+
+
+def _walk_window(slam, win, arrays, snap, on_frame=None):
+    """Walk one window's FETCHED results up to the first event.
+
+    Shared by run_windowed (single sequence) and multi.run_batched_windowed
+    (one walk per sequence slice). Returns the frames to replay (everything
+    after an event row — those were tracked against a snapshot/pose chain
+    the event invalidated)."""
+    packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np = arrays
+    n_real = len(win)
+
+    def row_feats(r):
+        return frontend.Features(
+            uv=uv_np[r], desc=desc_np[r], score=score_np[r],
+            valid=valid_np[r],
+        )
+
+    for r in range(n_real):
+        idx = win[r][0]
+        R_np = packed[r, :9].reshape(3, 3).copy()
+        t_np = packed[r, 9:12].copy()
+        n_in = int(packed[r, 12])
+        is_kf = packed[r, 13] > 0.5
+        fail = packed[r, 14] > 0.5
+        if fail:
+            _, R_np, t_np, n_in = slam._handle_track_failure(row_feats(r))
             slam._frames_since_kf += 1
-            if is_kf:
-                feats = row_feats(r)
-                slam._insert_keyframe(
-                    idx, feats, R_np, t_np, inl_np[r], idx2m_np[r],
-                    win[r][2], snap=h["snap"],
-                )
-                slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
-                if on_frame is not None:
-                    on_frame(slam, idx)
-                # Later rows reference the superseded snapshot: replay.
-                carry[:0] = win[r + 1 : n_real]
-                break
             slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
             if on_frame is not None:
                 on_frame(slam, idx)
-    return slam
+            # Later rows tracked through the failed pose chain: replay.
+            return win[r + 1 : n_real]
+        slam._prev_R, slam._prev_t = R_np, t_np
+        slam._frames_since_kf += 1
+        if is_kf:
+            feats = row_feats(r)
+            slam._insert_keyframe(
+                idx, feats, R_np, t_np, inl_np[r], idx2m_np[r],
+                win[r][2], snap=snap,
+            )
+            slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
+            if on_frame is not None:
+                on_frame(slam, idx)
+            # Later rows reference the superseded snapshot: replay.
+            return win[r + 1 : n_real]
+        slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
+        if on_frame is not None:
+            on_frame(slam, idx)
+    return []
 
 
 def run_sequence(
