@@ -158,3 +158,27 @@ def test_windowed_matches_per_frame():
     rmse_r, _ = ate_rmse(est_r, gt_pos, align_scale=False)
     # Same math modulo PRNG-key consumption order.
     assert rmse_w < max(2.0 * rmse_r, 0.02), (rmse_w, rmse_r)
+
+
+def test_rgbd_pipelined_initializes_metric():
+    """Regression: the pipelined driver must use the RGB-D init path when
+    use_depth is set (it silently fell back to monocular two-view init,
+    leaving the metric inverse-depth BA residuals fighting an
+    arbitrary-scale map)."""
+    from visual_slam_tpu.config import SlamConfig
+    from visual_slam_tpu.pipeline import run_sequence
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    ds = ICLNUIMDataset(DATA)
+    cfg = SlamConfig()
+    cfg.use_depth = True
+    slam = run_sequence(ds, cfg, 0, 60, pipelined=True)
+    assert slam.initialized
+    assert slam.stats["init_frame"] == 0  # RGB-D inits from the first frame
+    idxs, est = slam.positions()
+    gt = ds.ground_truth()
+    rmse, _ = ate_rmse(
+        est, gt[np.clip(idxs, 0, len(gt) - 1), :3, 3], align_scale=False
+    )
+    assert rmse < 0.02  # METRIC (SE3) ATE: scale must be right

@@ -95,7 +95,7 @@ def _bucket(n: int, floor: int) -> int:
     return q
 
 
-def pack_planar(cam, pnt, uv, w, n_points=None, min_p=64, min_q=8):
+def pack_planar(cam, pnt, uv, w, min_p=64, min_q=8):
     """Group O-indexed observations by landmark into the (P, Q) slot layout.
 
     Host-side NumPy. Landmarks with no valid observation are dropped
@@ -270,25 +270,8 @@ def _depth_terms(p: BAProblem, Xc, Rg, iz):
 
 
 def _scale_edge_terms(p: BAProblem):
-    """Closed-form scale-edge residuals and Jacobians.
-
-    r_e = ||t_rel|| - meas with t_rel = t_i - R_i R_j^T t_j. The rotational
-    derivative vanishes exactly (u^T [w]x t_rel = 0 for u || t_rel), so
-    J_i = [0_3, u], J_j = [0_3, -R_rel^T u] — no autodiff needed.
-    """
-    Ri, ti = p.R[p.se_i], p.t[p.se_i]
-    Rj, tj = p.R[p.se_j], p.t[p.se_j]
-    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
-    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
-    nrm = jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12)
-    r = nrm - p.se_meas
-    u = t_rel / nrm[:, None]
-    zeros = jnp.zeros_like(u)
-    Ji = jnp.concatenate([zeros, u], axis=-1)  # (E,6)
-    Jj = jnp.concatenate(
-        [zeros, -jnp.einsum("eab,ea->eb", R_rel, u)], axis=-1
-    )  # (E,6)
-    return r, Ji, Jj
+    """Closed-form scale-edge residuals and Jacobians (ops/lie.py)."""
+    return lie.scale_edge_terms(p.R, p.t, p.se_i, p.se_j, p.se_meas)
 
 
 def _psum(x, axis_name):

@@ -132,20 +132,41 @@ def extract(
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 
-@partial(jax.jit, static_argnames=("max_features",))
-def extract_fused(img: jnp.ndarray, max_features: int = 1024) -> Features:
+@partial(
+    jax.jit, static_argnames=("max_features", "quality_level", "nms_radius")
+)
+def extract_fused(
+    img: jnp.ndarray,
+    max_features: int = 1024,
+    quality_level: float = 0.01,
+    nms_radius: int = 3,
+) -> Features:
     """Single-jit front-end for use inside larger jitted computations
     (pays the fused-gather penalty; prefer `extract` at the host level)."""
     if img.ndim == 3:
         img = to_gray(img)
-    uv, score, valid = detect.detect_corners(img, max_corners=max_features)
+    uv, score, valid = detect.detect_corners(
+        img, max_corners=max_features,
+        quality_level=quality_level, nms_radius=nms_radius,
+    )
     blurred = detect.gaussian_blur(img, sigma=2.0, radius=4)
     theta = detect.orientation(img, uv)
     desc = descriptor.describe_fused(blurred, uv, theta)
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 
-extract_batch = jax.vmap(extract_fused, in_axes=(0, None))
+_extract_batch_v = jax.vmap(extract_fused, in_axes=(0, None, None, None))
+
+
+def extract_batch(
+    imgs: jnp.ndarray,
+    max_features: int = 1024,
+    quality_level: float = 0.01,
+    nms_radius: int = 3,
+) -> Features:
+    """Batched front-end over a (B,H,W) stack (vmapped extract_fused) —
+    wrapper so callers can rely on defaults (vmap has no default-args)."""
+    return _extract_batch_v(imgs, max_features, quality_level, nms_radius)
 
 
 def extract_rgb(rgb_u8: jnp.ndarray, max_features: int = 1024) -> Features:

@@ -134,18 +134,8 @@ def _se3_edge_blocks(g: PoseGraph, R, t):
 
 
 def _scale_edge_blocks(g: PoseGraph, R, t):
-    """Closed-form scale-edge residual + Jacobians (see models/ba.py:
-    the rotational derivative vanishes exactly)."""
-    R_rel, t_rel = _rel(R, t, g.s_i, g.s_j)
-    nrm = jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12)
-    r = nrm - g.s_meas
-    u = t_rel / nrm[:, None]
-    zeros = jnp.zeros_like(u)
-    Ji = jnp.concatenate([zeros, u], axis=-1)  # (S,6)
-    Jj = jnp.concatenate(
-        [zeros, -jnp.einsum("eab,ea->eb", R_rel, u)], axis=-1
-    )  # (S,6)
-    return r, Ji, Jj
+    """Closed-form scale-edge residual + Jacobians (ops/lie.py)."""
+    return lie.scale_edge_terms(R, t, g.s_i, g.s_j, g.s_meas)
 
 
 def _dcs_weight(chi2, phi):

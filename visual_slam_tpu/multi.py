@@ -81,7 +81,10 @@ def run_batched(
             gdev = jnp.asarray(grays)
         # One batched, jitted front-end call for all sequences; with a mesh
         # the batch axis stays sharded end-to-end (device-parallel extract).
-        feats = frontend.extract_batch(gdev, cfg.frontend.max_features)
+        feats = frontend.extract_batch(
+            gdev, cfg.frontend.max_features,
+            cfg.frontend.quality_level, cfg.frontend.nms_radius,
+        )
         n_devices_used = max(
             n_devices_used, len(feats.uv.sharding.device_set)
         )
@@ -165,7 +168,10 @@ def run_batched_windowed(
             gdev = jax.device_put(grays, NamedSharding(mesh, P("seq", None, None)))
         else:
             gdev = jnp.asarray(grays)
-        feats = frontend.extract_batch(gdev, cfg.frontend.max_features)
+        feats = frontend.extract_batch(
+            gdev, cfg.frontend.max_features,
+            cfg.frontend.quality_level, cfg.frontend.nms_radius,
+        )
         n_devices_used = max(n_devices_used, len(feats.uv.sharding.device_set))
         for b, slam in enumerate(slams):
             fb = jax.tree.map(lambda a: a[b], feats)
@@ -282,5 +288,6 @@ def run_batched_windowed(
             arrays = tuple(a[b] for a in fetched)
             carrys[b][:0] = _walk_window(slam, win, arrays, snaps[b])
     for slam in slams:
+        slam._apply_pending_ba(force=True)  # final keyframes' BAs
         slam.stats["frontend_devices"] = n_devices_used
     return slams

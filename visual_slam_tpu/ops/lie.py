@@ -166,3 +166,30 @@ def project_so3(M: jnp.ndarray) -> jnp.ndarray:
         [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
     )
     return (U * D[..., None, :]) @ Vt
+
+
+def scale_edge_terms(R, t, i, j, meas):
+    """Closed-form scale-edge residuals and Jacobians, shared by the BA
+    back-end (models/ba.py) and the pose graph (models/pose_graph.py).
+
+    ≙ g2o's EdgeSBAScale (reference LocalBA.py:115-131): r_e = ||t_rel|| -
+    meas with t_rel = t_i - R_i R_j^T t_j. The rotational derivative
+    vanishes exactly (u^T [w]x t_rel = 0 for u || t_rel), so
+    J_i = [0_3, u], J_j = [0_3, -R_rel^T u] — no autodiff needed.
+
+    Args: R (K,3,3), t (K,3), edge endpoints i/j (E,), meas (E,).
+    Returns (r (E,), Ji (E,6), Jj (E,6)).
+    """
+    Ri, ti = R[i], t[i]
+    Rj, tj = R[j], t[j]
+    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
+    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
+    nrm = jnp.sqrt(jnp.sum(t_rel * t_rel, axis=-1) + 1e-12)
+    r = nrm - meas
+    u = t_rel / nrm[:, None]
+    zeros = jnp.zeros_like(u)
+    Ji = jnp.concatenate([zeros, u], axis=-1)  # (E,6)
+    Jj = jnp.concatenate(
+        [zeros, -jnp.einsum("eab,ea->eb", R_rel, u)], axis=-1
+    )  # (E,6)
+    return r, Ji, Jj

@@ -365,25 +365,31 @@ def _fetch_async(*arrays) -> None:
             pass
 
 
-def _fetch_now(*arrays):
-    """Fetch device arrays to host with ONE tunnel flush (~30 ms total).
-
-    NEVER call bare np.asarray() on an unfetched device array here: the
-    blocking path's completion-poll backoff costs up to ~1 s per array
-    (measured) even when the result is long since computed. Issuing the
-    async copies together and spinning on is_ready amortizes every array
-    into a single ~30 ms round trip.
-    """
+def _spin_ready(arrays, timeout_s: float = 30.0) -> None:
+    """Spin on is_ready so the blocking np.asarray that follows finds the
+    results already landed (the blocking path's completion-poll backoff
+    costs up to ~1 s per array even for a long-finished result). Bounded:
+    a wedged device program must not hang the pipeline forever."""
     import time as _time
 
-    _fetch_async(*arrays)
-    deadline = _time.perf_counter() + 5.0
+    deadline = _time.perf_counter() + timeout_s
     for a in arrays:
         try:
             while not a.is_ready() and _time.perf_counter() < deadline:
                 _time.sleep(0.001)
         except AttributeError:
             break
+
+
+def _fetch_now(*arrays):
+    """Fetch device arrays to host with ONE tunnel flush (~30 ms total).
+
+    NEVER call bare np.asarray() on an unfetched device array here: issue
+    the async copies together, spin on is_ready, and every array amortizes
+    into a single ~30 ms round trip.
+    """
+    _fetch_async(*arrays)
+    _spin_ready(arrays, timeout_s=5.0)
     return [np.asarray(a) for a in arrays]
 
 
@@ -416,17 +422,7 @@ class _FetchBatch:
     def get(self, slot: int) -> np.ndarray:
         if self._host is None:
             self.seal()
-            import time as _time
-
-            deadline = _time.perf_counter() + 5.0
-            try:
-                while (
-                    not self._stacked.is_ready()
-                    and _time.perf_counter() < deadline
-                ):
-                    _time.sleep(0.001)
-            except AttributeError:
-                pass
+            _spin_ready([self._stacked], timeout_s=5.0)
             self._host = np.asarray(self._stacked)
         return self._host[slot]
 
@@ -1051,17 +1047,10 @@ class Slam:
                 return
         else:
             # Forced apply of a possibly-unfinished BA (back-to-back
-            # keyframes): a blocking np.asarray pays ~230 ms of completion-
-            # poll backoff on this backend even for a ~10 ms solve. Spin on
-            # is_ready (cheap) so the blocking fetch below finds the result
-            # already landed.
-            try:
-                import time as _time
-
-                while not diag.is_ready():
-                    _time.sleep(0.002)
-            except AttributeError:
-                pass
+            # keyframes): spin so the blocking fetch below finds the result
+            # already landed — bounded, unlike the previous bare loop, so a
+            # wedged BA program can't hang the pipeline forever.
+            _spin_ready([diag])
         self._pending_ba = None
         with self.timers.time("bundle_adjust"):
             diag_np = np.asarray(diag)
@@ -1188,9 +1177,20 @@ class Slam:
         # these reprojection constraints.
         sel = np.where(inl_host)[0]
         pt_ids = snap["pt_ids_np"][sel]
-        self.map.add_observations(
-            kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
-        )
+        # Dedup against the observations tracking already recorded for this
+        # keyframe: on a small loop the candidate's and tracking snapshots
+        # overlap, and a duplicated (kf, landmark) row double-weights that
+        # reprojection residual in every later BA and inflates pt_views.
+        m = self.map
+        seen = m.obs_pt[: m.n_obs][
+            m.obs_valid[: m.n_obs] & (m.obs_cam[: m.n_obs] == kf_id)
+        ]
+        fresh = ~np.isin(pt_ids, seen)
+        sel, pt_ids = sel[fresh], pt_ids[fresh]
+        if len(sel):
+            self.map.add_observations(
+                kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
+            )
         # SE3 loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113).
         Z_R, Z_t = lc_mod.loop_edge_measurement(
             self.map.kf_R[cand], self.map.kf_t[cand], R_corr, t_corr
@@ -1326,6 +1326,14 @@ def run_pipelined(
 
     def dispatch(i, feats, depth):
         if not slam.initialized:
+            if cfg.use_depth and depth is not None:
+                # RGB-D initializes immediately from the first frame's
+                # depth — there is no two-view search to pipeline. (Without
+                # this branch an RGB-D pipelined run silently initialized
+                # MONOCULARLY: an arbitrary-scale map that the metric
+                # inverse-depth BA residuals then fight every iteration.)
+                slam._try_initialize(i, feats, depth)
+                return
             t0 = _time.perf_counter()
             h = slam._dispatch_init(i, feats, fetch=fetch_batch == 0)
             if h is not None:
@@ -1409,6 +1417,10 @@ def run_pipelined(
             break
     while pending:
         slam._consume_track(pending.popleft())
+    # Apply the BA dispatched at the final keyframe — nothing after the
+    # stream end would otherwise force it, discarding the last keyframe's
+    # optimization and observation pruning.
+    slam._apply_pending_ba(force=True)
     return slam
 
 
@@ -1485,6 +1497,7 @@ def run_windowed(
                 break
             win.append(fr)
         if not win:
+            slam._apply_pending_ba(force=True)  # final keyframe's BA
             return slam
         slam._apply_pending_ba()
         n_real = len(win)
