@@ -81,34 +81,57 @@ def pnp_gauss_newton(
     left-multiplied se(3) increments.
     """
     fx, fy = intr[0], intr[1]
+    # Channel-major layout: the big N axis rides the vector lanes. The
+    # original (N,2,3)/(N,3,6)/(N,2,6) einsum formulation measured
+    # ~0.2 ms/iteration at N=2048 on v5e (trailing-small-dim tensors pad to
+    # full lane tiles); these unrolled (N,) lane ops + 6x6 sum-reductions
+    # are the same math at a fraction of the traffic. Jacobian rows are the
+    # identical closed forms used by models/ba_large._jacobians.
+    Xt = Xw.T  # (3,N)
+    uvt = uv.T  # (2,N)
 
     def step(carry, _):
         R, t = carry
-        Xc = Xw @ R.T + t
-        z = jnp.where(jnp.abs(Xc[:, 2]) > 1e-8, Xc[:, 2], 1e-8)
-        inv_z = 1.0 / z
-        pred = jnp.stack(
-            [fx * Xc[:, 0] * inv_z + intr[2], fy * Xc[:, 1] * inv_z + intr[3]],
-            axis=-1,
-        )
-        r = pred - uv  # (N,2)
+        Xc = [
+            R[i, 0] * Xt[0] + R[i, 1] * Xt[1] + R[i, 2] * Xt[2] + t[i]
+            for i in range(3)
+        ]
+        x, y, z0 = Xc
+        z = jnp.where(jnp.abs(z0) > 1e-8, z0, 1e-8)
+        iz = 1.0 / z
+        r0 = fx * x * iz + intr[2] - uvt[0]
+        r1 = fy * y * iz + intr[3] - uvt[1]
         # Huber IRLS weight per observation.
-        rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+        rn = jnp.sqrt(r0 * r0 + r1 * r1 + 1e-12)
         w_rob = jnp.where(rn <= huber_delta, 1.0, huber_delta / rn)
-        w = weights * w_rob * (Xc[:, 2] > 1e-6)
-        # d(uv)/d(Xc)
-        J_proj = jnp.stack(
-            [
-                jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * Xc[:, 0] * inv_z**2], -1),
-                jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * Xc[:, 1] * inv_z**2], -1),
-            ],
-            axis=-2,
-        )  # (N,2,3)
-        # d(Xc)/d(delta), delta = [omega, v] left-composed: dXc = -[Xc]x w + v
-        J_se3 = jnp.concatenate([-lie.hat(Xc), jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), (Xc.shape[0], 3, 3))], axis=-1)  # (N,3,6)
-        J = jnp.einsum("nij,njk->nik", J_proj, J_se3)  # (N,2,6)
-        H = jnp.einsum("n,nik,nil->kl", w, J, J) + 1e-6 * jnp.eye(6, dtype=R.dtype)
-        g = jnp.einsum("n,nik,ni->k", w, J, r)
+        w = weights * w_rob * (z0 > 1e-6)
+        a = fx * iz
+        b = -fx * x * iz * iz
+        c = fy * iz
+        d = -fy * y * iz * iz
+        zero = jnp.zeros_like(a)
+        # J rows for delta = [omega, v] left-composed (dXc = -[Xc]x w + v).
+        J0 = [b * y, a * z - b * x, -a * y, a, zero, b]
+        J1 = [-c * z + d * y, -d * x, c * x, zero, c, d]
+        # ONE batched (27,N)->27 reduction: separate scalar reduces carry a
+        # high fixed cross-lane cost each (measured ~0.1 ms/GN-iteration for
+        # the 27 of them at N=2048).
+        rows = [
+            w * (J0[k] * J0[l] + J1[k] * J1[l])
+            for k in range(6)
+            for l in range(k, 6)
+        ] + [w * (J0[k] * r0 + J1[k] * r1) for k in range(6)]
+        sums = jnp.sum(jnp.stack(rows), axis=1)  # (27,)
+        H = jnp.zeros((6, 6), R.dtype)
+        idx = 0
+        for k in range(6):
+            for l in range(k, 6):
+                H = H.at[k, l].set(sums[idx])
+                if k != l:
+                    H = H.at[l, k].set(sums[idx])
+                idx += 1
+        H = H + 1e-6 * jnp.eye(6, dtype=R.dtype)
+        g = sums[21:]
         delta = -jnp.linalg.solve(H, g)
         dR, dt = lie.se3_exp(delta)
         R_new = dR @ R

@@ -693,7 +693,13 @@ class Slam:
         )
         self._pose_dev = (R_dev, t_dev)
         if fetch:
-            _fetch_async(packed, inliers, idx2)  # overlap the fetch latency
+            # Overlap the fetch latency. The frame's feature arrays ride
+            # along (~1.5 MB background transfer): any frame can become a
+            # keyframe, and fetching uv/desc/valid cold at insert time
+            # measured 130 ms per keyframe (bench kf_fetch timer).
+            _fetch_async(
+                packed, inliers, idx2, feats.uv, feats.desc, feats.valid
+            )
         return dict(
             frame_idx=frame_idx,
             feats=feats,
@@ -898,6 +904,11 @@ class Slam:
         # (inliers + the frame's feature arrays): each separate blocking
         # fetch costs a full ~30 ms tunnel round trip.
         with self.timers.time("kf_fetch"):
+            # NOTE this is NOT transfer latency: in the pipelined loop a
+            # keyframe's blocking fetch drains every in-flight frame's
+            # device work first (~25 ms x pipeline_depth, measured ~140 ms
+            # at depth 6) — inherent to deep pipelining with synchronous
+            # keyframe insertion. The windowed driver avoids the backlog.
             inl_np, idx2_np, _, _, _ = _fetch_now(
                 inliers, idx2, feats.uv, feats.desc, feats.valid
             )
