@@ -25,6 +25,9 @@ CPU_BASELINE_FPS = 27.25  # scripts/cpu_baseline.py measured on this host
 DATA = "/root/reference/data/ICL_NUIM"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
 PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "6"))
+# "pipelined" (default) or "windowed" (W-frame device-side tracking scans).
+MODE = os.environ.get("BENCH_MODE", "pipelined")
+WINDOW = int(os.environ.get("BENCH_WINDOW", "16"))
 V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e peak (bf16); f32 ~= 1/4 of this
 
 
@@ -37,7 +40,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from visual_slam_tpu.config import SlamConfig
-    from visual_slam_tpu.pipeline import Slam, run_pipelined, _track_step
+    from visual_slam_tpu.pipeline import (
+        Slam, run_pipelined, run_windowed, _track_step,
+    )
+
+    def run_mode(slam, it):
+        if MODE == "windowed":
+            return run_windowed(slam, it, window=WINDOW)
+        return run_pipelined(slam, it, pipeline_depth=PIPE_DEPTH)
     from visual_slam_tpu.utils.dataset import ICLNUIMDataset
     from visual_slam_tpu.utils import evaluate
     from visual_slam_tpu.models import frontend as _fe
@@ -70,7 +80,7 @@ def main():
     # compiled (incl. the bucketed ELL/BA shapes of late keyframes — a short
     # prefix misses those and the first timed run then eats the compiles).
     cfg = SlamConfig()
-    warm = run_pipelined(Slam(cfg), mem_iter(), pipeline_depth=PIPE_DEPTH)
+    warm = run_mode(Slam(cfg), mem_iter())
     del warm
 
     def io_iter():
@@ -89,12 +99,12 @@ def main():
 
     # Headline: IO included.
     t0 = time.perf_counter()
-    slam = run_pipelined(Slam(SlamConfig()), io_iter(), pipeline_depth=PIPE_DEPTH)
+    slam = run_mode(Slam(SlamConfig()), io_iter())
     fps_io = N_FRAMES / (time.perf_counter() - t0)
 
     # No-IO variant (frames already in RAM; matches BASELINE_CPU conditions).
     t0 = time.perf_counter()
-    slam2 = run_pipelined(Slam(SlamConfig()), mem_iter(), pipeline_depth=PIPE_DEPTH)
+    slam2 = run_mode(Slam(SlamConfig()), mem_iter())
     fps_mem = N_FRAMES / (time.perf_counter() - t0)
     slam_best = slam2 if fps_mem >= fps_io else slam
 
@@ -217,6 +227,7 @@ def main():
         "fps_device_rate": round(device_fps, 1),
         "fps_device_rate_per_dispatch": round(device_fps_dispatch, 1),
         "pipeline_depth": PIPE_DEPTH,
+        "mode": MODE,
         "keyframes": slam_best.stats["keyframes"],
         "points": int(slam_best.map.pt_valid.sum()),
         "init_frame": slam_best.stats["init_frame"],
