@@ -126,6 +126,15 @@ def test_live_view_dump(tmp_path):
     assert ply[0] == "ply"
     n_vertex = int([l for l in ply if l.startswith("element vertex")][0].split()[-1])
     assert n_vertex == state["points"]
+    # Interactive viewer contract (utils/viewer.html polls these files).
+    traj = json.load(open(tmp_path / "trajectory.json"))
+    assert len(traj["positions"]) == state["trajectory_len"]
+    assert all(len(p) == 3 for p in traj["positions"][:3])
+    from visual_slam_tpu.utils import live_viewer  # importable, html present
+    html = open(
+        os.path.join(os.path.dirname(live_viewer.__file__), "viewer.html")
+    ).read()
+    assert "trajectory.json" in html and "parsePly" in html
     # No partial temp files left behind.
     assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp.")]
 

@@ -136,6 +136,14 @@ class LiveView:
             json.dump(state, f, indent=1)
         os.replace(tmp, path)
 
+        # 3D polyline for the interactive browser viewer (viewer.html).
+        tmp, path = self._atomic("trajectory.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"positions": np.asarray(est, np.float64).round(5).tolist()}, f
+            )
+        os.replace(tmp, path)
+
         if len(est) >= 2 and self.plot:
             gt = None
             if self.gt is not None:
