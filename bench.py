@@ -124,7 +124,7 @@ def main():
         last = None
         for d in devs:
             feats = _fe.extract(d, fq.max_features, fq.quality_level, fq.nms_radius)
-            packed, R, t, inl, idx2 = _track_step(
+            blob, R, t = _track_step(
                 feats.desc, feats.uv, feats.valid,
                 snap["desc"], snap["xyz"], snap["valid"],
                 R, t, slam_best.intr, key,
@@ -134,7 +134,7 @@ def main():
                 refine_iters=cfg.tracking.refine_iters,
                 cross_check=fq.cross_check,
             )
-            last = packed
+            last = blob
         jax.block_until_ready(last)
 
     device_pass()  # warm (pose-threaded input shapes)
@@ -152,7 +152,7 @@ def main():
     kq = jax.random.split(jax.random.PRNGKey(0), 65)[1:]
 
     def scan_pass(n):
-        outs = _track_window(
+        blobs = _track_window(
             gstack[:n], snap["desc"], snap["xyz"], snap["valid"],
             jnp.asarray(slam_best._prev_R), jnp.asarray(slam_best._prev_t),
             slam_best.intr, kq[:n],
@@ -169,7 +169,7 @@ def main():
             min_tracked=cfg.keyframe.min_tracked,
             min_track_pts=cfg.tracking.min_tracked_points,
         )
-        np.asarray(outs[0])
+        np.asarray(blobs)
 
     scan_pass(8); scan_pass(64)  # warm both shapes
     t0 = time.perf_counter(); scan_pass(8); t8 = time.perf_counter() - t0

@@ -228,6 +228,9 @@ def run_batched_windowed(
         if not any_live:
             break
         for slam in slams:
+            # Pending mines must land before stacking snapshots: the
+            # on-device keyframe rule reads each snapshot's n_local.
+            slam._apply_pending_mine(force=True)
             slam._apply_pending_ba()
         grays = np.stack(
             [
@@ -278,15 +281,14 @@ def run_batched_windowed(
             cfg.keyframe.tracked_ratio,
         )
         n_devices_used = max(
-            n_devices_used, len(outs[0].sharding.device_set)
+            n_devices_used, len(outs.sharding.device_set)
         )
-        fetched = _fetch_now(*outs)  # ONE flush: (Bp,W,...) each
+        (fetched,) = _fetch_now(outs)  # ONE array, ONE flush: (Bp,W,TOT)
         for b, slam in enumerate(slams):
             win = wins[b]
             if not win:
                 continue
-            arrays = tuple(a[b] for a in fetched)
-            carrys[b][:0] = _walk_window(slam, win, arrays, snaps[b])
+            carrys[b][:0] = _walk_window(slam, win, fetched[b], snaps[b])
     for slam in slams:
         slam._apply_pending_ba(force=True)  # final keyframes' BAs
         slam.stats["frontend_devices"] = n_devices_used

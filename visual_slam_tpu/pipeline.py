@@ -46,6 +46,61 @@ class FrameResult:
     is_keyframe: bool
 
 
+# ---------------------------------------------------------------- blob packing
+#
+# Every device->host fetch on this environment's tunneled TPU costs a full
+# ~25-40 ms round trip REGARDLESS of size (measured: five separate 32 KB
+# fetches ~180 ms, one concatenated fetch ~45 ms). So each tracking step
+# packs EVERYTHING the host could ever need for that frame — pose scalars,
+# PnP inliers, match indices, and the frame's full feature arrays (any frame
+# can become a keyframe) — into ONE flat f32 blob fetched as one copy.
+#
+# Layout (M = snapshot track capacity, K = max features):
+#   [0:16]                 header: R(9), t(3), n_inliers, is_kf, fail, pad
+#   [16       : 16+M]      PnP inlier mask over snapshot slots (0/1)
+#   [16+M     : 16+2M]     best-match feature index per snapshot slot
+#   [16+2M    : 16+2M+2K]  feature uv (K,2 flattened)
+#   [16+2M+2K : 16+2M+3K]  feature validity (0/1)
+#   [16+2M+3K : 16+2M+11K] packed 256-bit descriptors, bitcast u32->f32
+
+_BLOB_HEADER = 16
+
+
+def _pack_blob(header, inliers, idx2, uv, valid, desc):
+    """Device-side: flatten one frame's outputs into a single f32 vector."""
+    return jnp.concatenate(
+        [
+            header.astype(jnp.float32),
+            inliers.astype(jnp.float32),
+            idx2.astype(jnp.float32),  # exact: indices < 2^24
+            uv.reshape(-1).astype(jnp.float32),
+            valid.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(desc, jnp.float32).reshape(-1),
+        ]
+    )
+
+
+def _unpack_blob(row: np.ndarray, M: int, K: int):
+    """Host-side inverse of _pack_blob for one fetched (TOT,) f32 row.
+
+    Returns (inliers bool (M,), idx2 int32 (M,), host Features). The
+    Features' score slot is zero-filled — nothing downstream of extraction
+    consumes per-feature scores.
+    """
+    o = _BLOB_HEADER
+    inl = row[o : o + M] > 0.5
+    o += M
+    idx2 = row[o : o + M].astype(np.int32)
+    o += M
+    uv = row[o : o + 2 * K].reshape(K, 2).copy()
+    o += 2 * K
+    valid = row[o : o + K] > 0.5
+    o += K
+    desc = np.ascontiguousarray(row[o : o + 8 * K]).view(np.uint32).reshape(K, 8)
+    feats = frontend.Features(
+        uv=uv, desc=desc, score=np.zeros(K, np.float32), valid=valid
+    )
+    return inl, idx2, feats
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "refine_iters", "cross_check"))
@@ -71,7 +126,10 @@ def _track_step(
 
     ≙ main.py:180-214 (match_features + solvePnPRansac with extrinsic guess
     + motionOnlyBundleAdjustement for the current frame).
-    Returns (R, t, inlier_mask_over_snapshot, match_idx2, n_inliers).
+    Returns (blob, R, t): the blob (see _pack_blob) is the single host-fetch
+    payload; R/t are device arrays so the next frame's dispatch can seed its
+    PnP from them without any host round trip (on-device pose threading —
+    the key to running the loop at device rate).
     """
     idx2, dist, good = match.match_ratio_test(
         snap_desc, feats_desc, snap_valid, feats_valid, ratio=ratio,
@@ -90,13 +148,16 @@ def _track_step(
         threshold_px=threshold_px,
         refine_iters=refine_iters,
     )
-    # Pack the scalars/pose the host needs every frame into ONE small array:
-    # each separate device->host fetch is a full tunnel round trip. R/t are
-    # ALSO returned as device arrays so the next frame's dispatch can seed
-    # its PnP from them without any host round trip (on-device pose
-    # threading — the key to running the loop at device rate).
-    packed = jnp.concatenate([R.reshape(9), t, n_in[None].astype(R.dtype)])
-    return packed, R, t, inliers, idx2
+    header = jnp.concatenate(
+        [
+            R.reshape(9),
+            t,
+            n_in[None].astype(R.dtype),
+            jnp.zeros(3, R.dtype),
+        ]
+    )
+    blob = _pack_blob(header, inliers, idx2, feats_uv, feats_valid, feats_desc)
+    return blob, R, t
 
 
 @partial(
@@ -150,9 +211,10 @@ def _track_window(
     (_extract_pallas_fused — no XLA conv/gather fusions, which misbehave
     on this backend).
 
-    Returns stacked per-frame results; rows after an in-window keyframe or
-    tracking failure are tracked against the then-stale snapshot and are
-    REPLAYED by the host driver (run_windowed).
+    Returns stacked per-frame blobs (W, TOT) — see _pack_blob; ONE array,
+    ONE fetch. Rows after an in-window keyframe or tracking failure are
+    tracked against the then-stale snapshot and are REPLAYED by the host
+    driver (run_windowed).
     """
     n_local_f = jnp.maximum(n_local, 1).astype(jnp.float32)
 
@@ -183,23 +245,24 @@ def _track_window(
         # On failure hold the previous pose (the host relocalizes).
         Rn = jnp.where(fail, pR, R)
         tn = jnp.where(fail, pt, t)
-        packed = jnp.concatenate(
+        header = jnp.concatenate(
             [
                 Rn.reshape(9),
                 tn,
                 n_in[None].astype(jnp.float32),
                 is_kf[None].astype(jnp.float32),
                 fail[None].astype(jnp.float32),
+                jnp.zeros(1, jnp.float32),
             ]
         )
-        out = (packed, inliers, idx2, feats.uv, feats.desc, feats.score,
-               feats.valid)
-        return (Rn, tn, since), out
+        blob = _pack_blob(header, inliers, idx2, feats.uv, feats.valid,
+                          feats.desc)
+        return (Rn, tn, since), blob
 
-    (_, _, _), outs = jax.lax.scan(
+    (_, _, _), blobs = jax.lax.scan(
         step, (prev_R, prev_t, since_kf0), (grays, keys), length=window
     )
-    return outs  # each stacked (W, ...)
+    return blobs  # (W, TOT)
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
@@ -264,7 +327,48 @@ def _init_step(
     scalars = jnp.stack(
         [n_matches.astype(jnp.float32), frac.astype(jnp.float32), parallax_med]
     )
-    return scalars, idx2, R, t, X1, cheir
+    # ONE flat f32 blob per attempt (a single async device->host copy; every
+    # extra array costs a full ~25-40 ms tunnel round trip and the init
+    # phase runs one attempt per frame). Layout:
+    # [scalars(3) | R(9) | t(3) | idx2(K) | cheir(K) | X1(3K) |
+    #  f1_uv(2K) | f1_valid(K) | f1_desc(8K)]
+    return jnp.concatenate(
+        [
+            scalars,
+            R.reshape(9),
+            t,
+            idx2.astype(jnp.float32),
+            cheir.astype(jnp.float32),
+            X1.reshape(-1).astype(jnp.float32),
+            f1_uv.reshape(-1).astype(jnp.float32),
+            f1_valid.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(f1_desc, jnp.float32).reshape(-1),
+        ]
+    )
+
+
+def _unpack_init_blob(row: np.ndarray, K: int):
+    """(scalars (3,), R (3,3), t (3,), idx2 int32 (K,), cheir bool (K,),
+    X1 (K,3), f1 host Features)."""
+    scalars = row[:3]
+    R = row[3:12].reshape(3, 3).copy()
+    t = row[12:15].copy()
+    o = 15
+    idx2 = row[o : o + K].astype(np.int32)
+    o += K
+    cheir = row[o : o + K] > 0.5
+    o += K
+    X1 = row[o : o + 3 * K].reshape(K, 3).copy()
+    o += 3 * K
+    uv = row[o : o + 2 * K].reshape(K, 2).copy()
+    o += 2 * K
+    valid = row[o : o + K] > 0.5
+    o += K
+    desc = np.ascontiguousarray(row[o : o + 8 * K]).view(np.uint32).reshape(K, 8)
+    feats = frontend.Features(
+        uv=uv, desc=desc, score=np.zeros(K, np.float32), valid=valid
+    )
+    return scalars, R, t, idx2, cheir, X1, feats
 
 
 @partial(jax.jit, static_argnames=("cross_check",))
@@ -293,7 +397,10 @@ def _mine_step(
     cheirality/depth/reprojection — plus the parallax gate of the
     reference's validated `triangulation` helper (helper_functions.py:211-267,
     min_parallax): low-parallax points carry huge depth uncertainty and
-    pollute long-run BA. Returns (idx2, keep_mask, X_world).
+    pollute long-run BA. Returns ONE flat f32 blob
+    [idx2 (K) | keep (K) | keep_loose (K) | X (3K)] — a single fetch; on
+    this backend's tunnel every extra device->host array costs a full
+    ~25-40 ms round trip.
     """
     idx2, dist, good = match.match_ratio_test(
         prev_desc, cur_desc, prev_avail, cur_valid, ratio=ratio,
@@ -331,6 +438,22 @@ def _mine_step(
     # a keyframe-every-frame death spiral (measured: ATE 0.28 + 59 tracking
     # failures over 600 frames gated vs 0.037 + 0 ungated). The caller falls
     # back to keep_loose when the strict yield is below a floor.
+    return jnp.concatenate(
+        [
+            idx2.astype(jnp.float32),
+            keep.astype(jnp.float32),
+            keep_loose.astype(jnp.float32),
+            X.reshape(-1).astype(jnp.float32),
+        ]
+    )
+
+
+def _unpack_mine_blob(row: np.ndarray, K: int):
+    """(idx2 int32 (K,), keep bool (K,), keep_loose bool (K,), X (K,3))."""
+    idx2 = row[:K].astype(np.int32)
+    keep = row[K : 2 * K] > 0.5
+    keep_loose = row[2 * K : 3 * K] > 0.5
+    X = row[3 * K : 6 * K].reshape(K, 3).copy()
     return idx2, keep, keep_loose, X
 
 
@@ -397,7 +520,7 @@ class _FetchBatch:
     """Batches many frames' small per-frame results into ONE tunnel flush.
 
     The tunnel charges ~30 ms per device->host interaction regardless of
-    size, so fetching each frame's 13-float packed result individually caps
+    size, so fetching each frame's result blob individually caps
     the whole pipeline at ~33 frames/s. Stacking B frames' results on
     device and fetching once costs ~30/B ms per frame instead.
     """
@@ -480,6 +603,7 @@ class Slam:
         self._frames_since_kf = 0
         self._snap_epoch = 0  # bumped when keyframe insertion remaps the snapshot
         self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
+        self._pending_mine = None  # deferred landmark-mining handle (dict)
         # loop closure state
         self._loop_db = lc_mod.KeyframeFeatureDB(
             self.cfg.map.max_keyframes, self.cfg.frontend.max_features
@@ -534,7 +658,7 @@ class Slam:
             )
             return None
         f0, f1 = self._init_feats, feats
-        scalars, idx2, R, t, X1, cheir = _init_step(
+        blob = _init_step(
             f0.desc,
             f0.uv,
             f0.valid,
@@ -552,11 +676,8 @@ class Slam:
             cross_check=cfg.frontend.cross_check,
         )
         if fetch:
-            _fetch_async(scalars, idx2, R, t, X1, cheir)
-        return dict(
-            frame_idx=frame_idx, feats=feats, scalars=scalars, idx2=idx2,
-            R=R, t=t, X=X1, cheir=cheir,
-        )
+            _fetch_async(blob)  # ONE async copy per init attempt
+        return dict(frame_idx=frame_idx, feats=feats, blob=blob)
 
     def _consume_init(self, h) -> bool:
         """Gate + (on acceptance) build the initial map from a dispatched
@@ -564,11 +685,14 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats = h["frame_idx"], h["feats"]
         f0 = self._init_feats
-        idx2, R, t, X1, cheir = h["idx2"], h["R"], h["t"], h["X"], h["cheir"]
         if "batch" in h:
-            scalars_np = h["batch"].get(h["slot"])
+            row = h["batch"].get(h["slot"])
         else:
-            scalars_np = np.asarray(h["scalars"])  # ONE fetch, all three gates
+            row = np.asarray(h["blob"])  # ONE fetch: gates + full accept data
+        K = int(self.cfg.frontend.max_features)
+        scalars_np, R1, t1, idx2_np, good_np, X_np, feats_host = (
+            _unpack_init_blob(row, K)
+        )
         n_matches = int(scalars_np[0])
         if n_matches < cfg.twoview.min_matches:  # ≙ main.py:97-98
             return False
@@ -576,13 +700,15 @@ class Slam:
             return False
         if scalars_np[2] < cfg.twoview.min_init_parallax_deg:
             return False
-        # Accepted (rare): ONE grouped flush for every array the map build
-        # below needs on the host.
-        R1, t1, good_np, X_np, idx2_np, _, _, _, _ = _fetch_now(
-            R, t, cheir, X1, idx2, feats.uv, feats.desc, feats.valid, f0.uv
-        )
-        uv1 = f0.uv
-        uv2_np = np.asarray(h["feats"].uv)[idx2_np]
+        # Accepted (rare): the blob already carries everything except the
+        # anchor frame's features — ONE grouped flush for those.
+        uv0_np, d0_np, v0_np = _fetch_now(f0.uv, f0.desc, f0.valid)
+        uv1 = uv0_np
+        uv2_np = feats_host.uv[idx2_np]
+        # Host Features for the new keyframe: downstream keyframe machinery
+        # (mining, loop DB) reads these host-side — device reads would each
+        # cost a tunnel round trip.
+        feats = feats_host
         # Frame0 = world origin keyframe, this frame = keyframe 1.
         R0 = np.eye(3, dtype=np.float32)
         t0 = np.zeros(3, np.float32)
@@ -610,8 +736,8 @@ class Slam:
             self.map = SlamMap(self.cfg.map)  # rollback, retry next frames
             self.stats["init_rollbacks"] = self.stats.get("init_rollbacks", 0) + 1
             return False
-        self._loop_db.add(kf0, np.asarray(f0.desc), np.asarray(f0.valid))
-        self._loop_db.add(kf1, np.asarray(feats.desc), np.asarray(feats.valid))
+        self._loop_db.add(kf0, d0_np, v0_np)
+        self._loop_db.add(kf1, feats.desc, feats.valid)
         self._finish_keyframe(kf1, feats, mapped, frame_idx)
         self.initialized = True
         self.stats["init_frame"] = frame_idx
@@ -673,7 +799,7 @@ class Slam:
         else:
             prev_R = jnp.asarray(self._prev_R)
             prev_t = jnp.asarray(self._prev_t)
-        packed, R_dev, t_dev, inliers, idx2 = _track_step(
+        blob, R_dev, t_dev = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
@@ -693,22 +819,22 @@ class Slam:
         )
         self._pose_dev = (R_dev, t_dev)
         if fetch:
-            # Overlap the fetch latency. The frame's feature arrays ride
-            # along (~1.5 MB background transfer): any frame can become a
-            # keyframe, and fetching uv/desc/valid cold at insert time
-            # measured 130 ms per keyframe (bench kf_fetch timer).
-            _fetch_async(
-                packed, inliers, idx2, feats.uv, feats.desc, feats.valid
-            )
+            # ONE async copy per frame. The blob carries the frame's feature
+            # arrays too (any frame can become a keyframe) — fetching them
+            # as separate arrays measured ~36 ms of tunnel round trip EACH,
+            # 130+ ms per keyframe cold.
+            _fetch_async(blob)
         return dict(
             frame_idx=frame_idx,
             feats=feats,
             depth=depth,
             snap=snap,
             snap_epoch=self._snap_epoch,
-            packed=packed,
-            inliers=inliers,
-            idx2=idx2,
+            # Dispatched against a pre-mine snapshot? Then the keyframe
+            # rule's 0.9*n_local threshold is evaluated against a starved
+            # local map — such frames must re-track before keyframing.
+            mine_pending=self._pending_mine is not None,
+            blob=blob,
         )
 
     def _dispatch_track_window(self, grays_np):
@@ -719,7 +845,7 @@ class Slam:
         W = grays_np.shape[0]
         ks = jax.random.split(self.key, W + 1)
         self.key = ks[0]
-        packed, inl, idx2, uv, desc, score, valid = _track_window(
+        blobs = _track_window(
             jax.device_put(np.ascontiguousarray(grays_np)),
             snap["desc"], snap["xyz"], snap["valid"],
             jnp.asarray(self._prev_R), jnp.asarray(self._prev_t),
@@ -739,11 +865,8 @@ class Slam:
             min_tracked=cfg.keyframe.min_tracked,
             min_track_pts=cfg.tracking.min_tracked_points,
         )
-        _fetch_async(packed)
-        return dict(
-            packed=packed, inl=inl, idx2=idx2, uv=uv, desc=desc,
-            score=score, valid=valid, snap=snap, snap_epoch=self._snap_epoch,
-        )
+        _fetch_async(blobs)
+        return dict(blobs=blobs, snap=snap, snap_epoch=self._snap_epoch)
 
     def _handle_track_failure(self, feats):
         """Shared tracking-failure path (the reference has no recovery,
@@ -768,14 +891,14 @@ class Slam:
         (pose bookkeeping, keyframe rule, keyframe insertion)."""
         cfg = self.cfg
         frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
-        snap, inliers, idx2 = h["snap"], h["inliers"], h["idx2"]
+        snap = h["snap"]
         if "batch" in h:
-            packed_np = h["batch"].get(h["slot"])
+            blob_np = h["batch"].get(h["slot"])
         else:
-            packed_np = np.asarray(h["packed"])
-        R = packed_np[:9].reshape(3, 3)
-        t = packed_np[9:12]
-        n_tracked = int(packed_np[12])
+            blob_np = np.asarray(h["blob"])
+        R = blob_np[:9].reshape(3, 3)
+        t = blob_np[9:12]
+        n_tracked = int(blob_np[12])
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
             relocalized, R_np, t_np, n_tracked = self._handle_track_failure(
@@ -808,11 +931,20 @@ class Slam:
         # 45 vetoes vs 11 insertions at depth 6 on lr traj3). Instead,
         # re-track the frame against the CURRENT snapshot (one extra device
         # round trip at keyframe cadence) and re-apply the keyframe rule
-        # with the fresh indices.
-        if is_kf and h.get("snap_epoch", self._snap_epoch) != self._snap_epoch:
+        # with the fresh indices. Frames dispatched while a mine was pending
+        # take the same path: their snapshot was the starved pre-mine local
+        # map, whose small n_local makes the 0.9 rule fire spuriously
+        # (measured: 22 keyframes + ATE 0.032 vs 11 + 0.016 without this).
+        if is_kf and (
+            h.get("snap_epoch", self._snap_epoch) != self._snap_epoch
+            or h.get("mine_pending", False)
+        ):
             is_kf = False
+            # The retrack must see the post-mine local map, else it re-runs
+            # against the same starved snapshot it is correcting for.
+            self._apply_pending_mine(force=True)
             snap = self._snapshot
-            packed2, _, _, inliers2, idx22 = _track_step(
+            blob2, _, _ = _track_step(
                 feats.desc, feats.uv, feats.valid,
                 snap["desc"], snap["xyz"], snap["valid"],
                 jnp.asarray(R_np), jnp.asarray(t_np),
@@ -823,8 +955,8 @@ class Slam:
                 refine_iters=cfg.tracking.refine_iters,
                 cross_check=cfg.frontend.cross_check,
             )
-            p2, _, _ = _fetch_now(packed2, inliers2, idx22)
-            n2 = int(p2[12])
+            (blob_np,) = _fetch_now(blob2)
+            n2 = int(blob_np[12])
             n_local2 = snap["n_valid"]
             still_kf = (
                 self._frames_since_kf > cfg.keyframe.max_interval
@@ -835,18 +967,22 @@ class Slam:
             )
             if still_kf and n2 >= cfg.tracking.min_tracked_points:
                 is_kf = True
-                R_np = p2[:9].reshape(3, 3).copy()
-                t_np = p2[9:12].copy()
+                R_np = blob_np[:9].reshape(3, 3).copy()
+                t_np = blob_np[9:12].copy()
                 self._prev_R, self._prev_t = R_np, t_np
-                n_tracked, inliers, idx2 = n2, inliers2, idx22
+                n_tracked = n2
                 self.stats["kf_retracked"] = self.stats.get("kf_retracked", 0) + 1
             else:
                 self.stats["kf_vetoed_stale"] = (
                     self.stats.get("kf_vetoed_stale", 0) + 1
                 )
         if is_kf:
+            M = int(snap["valid"].shape[0])
+            K = int(feats.uv.shape[0])
+            inl_np, idx2_np, feats_host = _unpack_blob(blob_np, M, K)
             self._insert_keyframe(
-                frame_idx, feats, R_np, t_np, inliers, idx2, depth, snap=snap
+                frame_idx, feats_host, R_np, t_np, inl_np, idx2_np, depth,
+                snap=snap,
             )
         self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
 
@@ -859,7 +995,7 @@ class Slam:
         """
         cfg = self.cfg
         snap = self.map.global_snapshot()
-        packed, _, _, inliers, idx2 = _track_step(
+        blob, _, _ = _track_step(
             feats.desc,
             feats.uv,
             feats.valid,
@@ -877,19 +1013,27 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
         )
-        packed_np, _, _ = _fetch_now(packed, inliers, idx2)
-        n = int(packed_np[12])
+        (blob_np,) = _fetch_now(blob)
+        n = int(blob_np[12])
         ok = n >= cfg.tracking.min_tracked_points
+        M = int(snap["valid"].shape[0])
+        K = int(feats.uv.shape[0])
+        inliers, idx2, _ = _unpack_blob(blob_np, M, K)
         # The returned inliers/idx2 index the *global* snapshot, which is not
         # the tracking snapshot; a relocalized frame is never a keyframe in
         # the same step, so the caller only uses the pose and count.
-        return ok, packed_np[:9].reshape(3, 3), packed_np[9:12], inliers, idx2, n
+        return ok, blob_np[:9].reshape(3, 3).copy(), blob_np[9:12].copy(), inliers, idx2, n
 
     # --------------------------------------------------------------- keyframe
 
     def _insert_keyframe(self, frame_idx, feats, R_np, t_np, inliers, idx2, depth=None, snap=None):
+        """Insert a keyframe. `feats`, `inliers`, `idx2` are HOST data (the
+        per-frame blob carries them — see _pack_blob; a cold device fetch
+        here used to cost 130+ ms per keyframe)."""
         cfg = self.cfg
         with self.timers.time("kf_ba_wait"):
+            # Applies a still-pending mine first (which dispatches its BA),
+            # then force-applies the pending BA.
             self._apply_pending_ba(force=True)
         if snap is None:
             snap = self._snapshot
@@ -900,18 +1044,8 @@ class Slam:
         # observations and rebuilt the snapshot with a different slot order,
         # which would silently make inliers/idx2 select the wrong pt_ids.
         # The handle snapshot's pt_ids stay valid landmark ids regardless.
-        # One grouped flush for everything this keyframe needs on the host
-        # (inliers + the frame's feature arrays): each separate blocking
-        # fetch costs a full ~30 ms tunnel round trip.
-        with self.timers.time("kf_fetch"):
-            # NOTE this is NOT transfer latency: in the pipelined loop a
-            # keyframe's blocking fetch drains every in-flight frame's
-            # device work first (~25 ms x pipeline_depth, measured ~140 ms
-            # at depth 6) — inherent to deep pipelining with synchronous
-            # keyframe insertion. The windowed driver avoids the backlog.
-            inl_np, idx2_np, _, _, _ = _fetch_now(
-                inliers, idx2, feats.uv, feats.desc, feats.valid
-            )
+        inl_np = np.asarray(inliers)
+        idx2_np = np.asarray(idx2)
         # Tracked landmarks gain an observation in the new keyframe
         # (≙ main.py:232).
         sel = np.where(inl_np)[0]
@@ -933,24 +1067,35 @@ class Slam:
         if kf_id >= cfg.keyframe.cull_after and kf_id % cfg.keyframe.cull_every == 0:
             self.stats["culled"] += self.map.cull_points(cfg.keyframe.cull_min_views)
         # Mine new landmarks (≙ main.py:237-318): depth backprojection in
-        # RGB-D mode, two-view triangulation in monocular mode.
+        # RGB-D mode (host-only, synchronous), two-view triangulation in
+        # monocular mode — DISPATCHED here, applied a couple of frames later
+        # (_apply_pending_mine), exactly like the async BA: the synchronous
+        # mine fetch measured ~75-110 ms per keyframe of tunnel round trip
+        # on the otherwise-empty device queue.
         with self.timers.time("kf_mine"):
             if self.cfg.use_depth and depth is not None:
                 self._mine_depth_points(kf_id, feats, mapped, depth)
             else:
-                self._mine_new_points(kf_id, feats, mapped)
-        # Full bundle adjustment over the map (≙ main.py:322-323),
-        # dispatched async; applied after a couple of tracked frames.
+                self._dispatch_mine(kf_id, feats, mapped)
         with self.timers.time("kf_snapshot"):
             self._finish_keyframe(kf_id, feats, mapped, frame_idx)
         with self.timers.time("kf_loop"):
             if loop_scores is not None:
                 self._maybe_close_loop(kf_id, feats, loop_scores)
+        # Full bundle adjustment over the map (≙ main.py:322-323),
+        # dispatched async; applied after a couple of tracked frames. When a
+        # mine is in flight, the BA dispatch rides with its apply instead
+        # (the BA problem should include the newly mined landmarks).
         with self.timers.time("kf_dispatch_ba"):
-            self._dispatch_ba(kf_id, scale_gauge=False)
+            if self._pending_mine is None:
+                self._dispatch_ba(kf_id, scale_gauge=False)
 
-    def _mine_new_points(self, kf_id, feats, mapped_cur):
-        """Triangulate unmapped matches between the previous and new keyframe."""
+    def _dispatch_mine(self, kf_id, feats, mapped_cur):
+        """Dispatch landmark mining between the previous and new keyframe
+        without waiting (async mapping — the deferred-apply twin of
+        _dispatch_ba). Triangulation runs on device while tracking resumes;
+        _apply_pending_mine inserts the new landmarks a couple of frames
+        later and then dispatches the keyframe's full BA."""
         cfg = self.cfg
         prev_feats = self._last_kf_feats
         prev_mapped = self._last_kf_mapped
@@ -958,7 +1103,7 @@ class Slam:
         # helper_functions.py:316-326).
         avail1 = np.asarray(prev_feats.valid) & ~prev_mapped
         prev_id = self._last_kf_id
-        idx2, keep_dev, keep_loose_dev, X = _mine_step(
+        mine_blob = _mine_step(
             prev_feats.desc,
             prev_feats.uv,
             jnp.asarray(avail1),
@@ -977,9 +1122,42 @@ class Slam:
             cfg.keyframe.min_parallax_deg,
             cross_check=cfg.frontend.cross_check,
         )
-        idx2_np, keep, keep_loose_np, X_np = _fetch_now(
-            idx2, keep_dev, keep_loose_dev, X
+        _fetch_async(mine_blob)
+        self._pending_mine = dict(
+            blob=mine_blob,
+            kf_id=kf_id,
+            prev_id=prev_id,
+            feats=feats,
+            prev_uv=np.asarray(prev_feats.uv),
+            mapped=mapped_cur,
+            age=0,
         )
+
+    def _apply_pending_mine(self, force: bool = False, dispatch_ba: bool = True) -> None:
+        """Insert the landmarks of a dispatched mine once its result has
+        landed (or immediately when force=True), then dispatch the
+        keyframe's full BA. Mirrors _apply_pending_ba."""
+        h = self._pending_mine
+        if h is None:
+            return
+        if not force:
+            try:
+                ready = h["blob"].is_ready()
+            except AttributeError:
+                ready = h["age"] >= 2
+            if not ready:
+                h["age"] += 1
+                return
+        else:
+            _spin_ready([h["blob"]])
+        self._pending_mine = None
+        cfg = self.cfg
+        kf_id, prev_id, feats = h["kf_id"], h["prev_id"], h["feats"]
+        mapped_cur = h["mapped"]
+        with self.timers.time("mine_apply"):
+            (mine_np,) = _fetch_now(h["blob"])
+        K = int(h["prev_uv"].shape[0])
+        idx2_np, keep, keep_loose_np, X_np = _unpack_mine_blob(mine_np, K)
         keep = keep.copy()
         # Don't re-map features already matched to existing landmarks.
         fresh = ~mapped_cur[idx2_np]
@@ -990,12 +1168,24 @@ class Slam:
             keep = keep_loose_np & fresh
             self.stats["mine_relaxed"] = self.stats.get("mine_relaxed", 0) + 1
         sel = np.where(keep)[0]
-        if len(sel) == 0:
-            return
-        pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
-        self.map.add_observations(prev_id, pt_ids, np.asarray(prev_feats.uv)[sel])
-        self.map.add_observations(kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]])
-        mapped_cur[idx2_np[sel]] = True
+        if len(sel) > 0:
+            pt_ids = self.map.add_points(
+                X_np[sel], np.asarray(feats.desc)[idx2_np[sel]]
+            )
+            self.map.add_observations(prev_id, pt_ids, h["prev_uv"][sel])
+            self.map.add_observations(
+                kf_id, pt_ids, np.asarray(feats.uv)[idx2_np[sel]]
+            )
+            # In-place on purpose: this is the same array _finish_keyframe
+            # stored as _last_kf_mapped — the NEXT mine's availability mask.
+            mapped_cur[idx2_np[sel]] = True
+            # The mined landmarks join the tracking snapshot (only if this
+            # keyframe is still the tracking anchor — a newer keyframe's
+            # snapshot must not be clobbered with the older local map).
+            if self._last_kf_id == kf_id:
+                self._snapshot = self.map.local_snapshot(kf_id)
+        if dispatch_ba:
+            self._dispatch_ba(kf_id, scale_gauge=False)
 
     def _mine_depth_points(self, kf_id, feats, mapped_cur, depth):
         """Create metric landmarks for unmapped features from the depth map."""
@@ -1041,6 +1231,11 @@ class Slam:
         self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0, self.map.ba_meta)
 
     def _apply_pending_ba(self, force: bool = False) -> None:
+        # A pending mine precedes its keyframe's BA: tick it first so its
+        # apply (which dispatches that BA) happens as soon as the result
+        # lands. Every driver already calls _apply_pending_ba per frame, so
+        # no driver changes are needed for the mine to drain.
+        self._apply_pending_mine(force=force)
         if self._pending_ba is None:
             return
         out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
@@ -1167,7 +1362,7 @@ class Slam:
         tcfg = self.cfg.tracking
         fq = self.cfg.frontend
         snap = self.map.local_snapshot(cand)
-        packed, _, _, inliers, idx2 = _track_step(
+        blob, _, _ = _track_step(
             feats.desc, feats.uv, feats.valid,
             snap["desc"], snap["xyz"], snap["valid"],
             jnp.asarray(self.map.kf_R[cand]), jnp.asarray(self.map.kf_t[cand]),
@@ -1176,13 +1371,23 @@ class Slam:
             n_hyps=tcfg.pnp_hypotheses, refine_iters=tcfg.refine_iters,
             cross_check=fq.cross_check,
         )
-        packed_np, inl_host, idx2_host = _fetch_now(packed, inliers, idx2)
-        n_inl = int(packed_np[12])
+        (blob_np,) = _fetch_now(blob)
+        M = int(snap["valid"].shape[0])
+        Kf = int(np.asarray(feats.uv).shape[0])
+        inl_host, idx2_host, _ = _unpack_blob(blob_np, M, Kf)
+        n_inl = int(blob_np[12])
         self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
         if n_inl < cfg.verify_min_inliers:
             return
-        R_corr = packed_np[:9].reshape(3, 3).astype(np.float32)
-        t_corr = packed_np[9:12].astype(np.float32)
+        # A verified closure rewrites poses and re-anchors landmarks below;
+        # the in-flight mine (dispatched this keyframe) triangulated against
+        # the PRE-correction poses, so land it first — its points then get
+        # re-anchored consistently with everything else. Its BA dispatch is
+        # suppressed: the keyframe's BA is dispatched after the correction
+        # (end of _insert_keyframe) so it optimizes the corrected map.
+        self._apply_pending_mine(force=True, dispatch_ba=False)
+        R_corr = blob_np[:9].reshape(3, 3).astype(np.float32)
+        t_corr = blob_np[9:12].astype(np.float32)
         # Cross-observations: the verified matches are sightings of the OLD
         # landmarks in the NEW keyframe — global BA fuses the loop through
         # these reprojection constraints.
@@ -1350,7 +1555,7 @@ def run_pipelined(
             if h is not None:
                 if fetch_batch > 0:
                     h["batch"] = state["init_batch"]
-                    h["slot"] = state["init_batch"].add(h["scalars"])
+                    h["slot"] = state["init_batch"].add(h["blob"])
                     if len(state["init_batch"]) >= fetch_batch:
                         state["init_batch"].seal()
                         state["init_batch"] = _FetchBatch()
@@ -1371,7 +1576,7 @@ def run_pipelined(
             h = slam._dispatch_track(i, feats, depth, fetch=fetch_batch == 0)
             if fetch_batch > 0:
                 h["batch"] = state["track_batch"]
-                h["slot"] = state["track_batch"].add(h["packed"])
+                h["slot"] = state["track_batch"].add(h["blob"])
                 if len(state["track_batch"]) >= fetch_batch:
                     state["track_batch"].seal()
                     state["track_batch"] = _FetchBatch()
@@ -1510,55 +1715,44 @@ def run_windowed(
         if not win:
             slam._apply_pending_ba(force=True)  # final keyframe's BA
             return slam
+        # A pending mine must land before the window dispatch: the on-device
+        # keyframe rule inside the scan reads n_local of the snapshot we
+        # stack NOW — a starved pre-mine snapshot would make it fire early.
+        slam._apply_pending_mine(force=True)
         slam._apply_pending_ba()
         n_real = len(win)
         grays = [w[1] for w in win] + [win[-1][1]] * (window - n_real)
         h = slam._dispatch_track_window(np.stack(grays))
-        # ONE flush for the whole window's outputs (~0.8 MB): fetching the
-        # event row's slices later instead costs a fresh ~130 ms dispatch+
-        # round trip per keyframe (measured kf_fetch timer).
-        packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np = (
-            _fetch_now(
-                h["packed"], h["inl"], h["idx2"], h["uv"], h["desc"],
-                h["score"], h["valid"],
-            )
-        )
-
-        carry[:0] = _walk_window(
-            slam,
-            win,
-            (packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np),
-            h["snap"],
-            on_frame,
-        )
+        # ONE array, ONE fetch for the whole window's outputs (~1 MB):
+        # fetching per-row arrays separately costs a ~36 ms tunnel round
+        # trip EACH on this backend.
+        (blobs_np,) = _fetch_now(h["blobs"])
+        carry[:0] = _walk_window(slam, win, blobs_np, h["snap"], on_frame)
     return slam
 
 
-def _walk_window(slam, win, arrays, snap, on_frame=None):
-    """Walk one window's FETCHED results up to the first event.
+def _walk_window(slam, win, blobs_np, snap, on_frame=None):
+    """Walk one window's FETCHED blob rows (W, TOT) up to the first event.
 
     Shared by run_windowed (single sequence) and multi.run_batched_windowed
     (one walk per sequence slice). Returns the frames to replay (everything
     after an event row — those were tracked against a snapshot/pose chain
     the event invalidated)."""
-    packed, inl_np, idx2m_np, uv_np, desc_np, score_np, valid_np = arrays
     n_real = len(win)
-
-    def row_feats(r):
-        return frontend.Features(
-            uv=uv_np[r], desc=desc_np[r], score=score_np[r],
-            valid=valid_np[r],
-        )
+    M = int(snap["valid"].shape[0])
+    K = int(slam.cfg.frontend.max_features)
 
     for r in range(n_real):
         idx = win[r][0]
-        R_np = packed[r, :9].reshape(3, 3).copy()
-        t_np = packed[r, 9:12].copy()
-        n_in = int(packed[r, 12])
-        is_kf = packed[r, 13] > 0.5
-        fail = packed[r, 14] > 0.5
+        row = blobs_np[r]
+        R_np = row[:9].reshape(3, 3).copy()
+        t_np = row[9:12].copy()
+        n_in = int(row[12])
+        is_kf = row[13] > 0.5
+        fail = row[14] > 0.5
         if fail:
-            _, R_np, t_np, n_in = slam._handle_track_failure(row_feats(r))
+            _, _, feats = _unpack_blob(row, M, K)
+            _, R_np, t_np, n_in = slam._handle_track_failure(feats)
             slam._frames_since_kf += 1
             slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
             if on_frame is not None:
@@ -1568,10 +1762,9 @@ def _walk_window(slam, win, arrays, snap, on_frame=None):
         slam._prev_R, slam._prev_t = R_np, t_np
         slam._frames_since_kf += 1
         if is_kf:
-            feats = row_feats(r)
+            inl, idx2, feats = _unpack_blob(row, M, K)
             slam._insert_keyframe(
-                idx, feats, R_np, t_np, inl_np[r], idx2m_np[r],
-                win[r][2], snap=snap,
+                idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
             )
             slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
             if on_frame is not None:
