@@ -152,21 +152,17 @@ def main():
     kq = jax.random.split(jax.random.PRNGKey(0), 65)[1:]
 
     def scan_pass(n):
-        blobs = _track_window(
+        blobs, _, _ = _track_window(
             gstack[:n], snap["desc"], snap["xyz"], snap["valid"],
             jnp.asarray(slam_best._prev_R), jnp.asarray(slam_best._prev_t),
             slam_best.intr, kq[:n],
-            jnp.int32(snap["n_valid"]), jnp.int32(0),
             fq.match_ratio, fq.max_hamming, cfg.tracking.pnp_threshold_px,
-            cfg.keyframe.tracked_ratio,
             window=n, max_features=fq.max_features,
             quality_level=fq.quality_level, nms_radius=fq.nms_radius,
             interpret=jax.default_backend() != "tpu",
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
             cross_check=fq.cross_check,
-            max_interval=cfg.keyframe.max_interval,
-            min_tracked=cfg.keyframe.min_tracked,
             min_track_pts=cfg.tracking.min_tracked_points,
         )
         np.asarray(blobs)

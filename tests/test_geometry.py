@@ -192,6 +192,64 @@ def test_pnp_ransac_with_outliers_and_guess(rng):
     assert int(n_in) > 180
 
 
+def test_pnp_tracked_good_prior(rng):
+    """Tiered PnP: a frame-rate motion prior must recover the pose through
+    the cheap GN branch despite 25% outlier matches."""
+    X, _, _, _, _ = make_scene(rng, n=256)
+    w = np.array([0.1, 0.2, -0.05], dtype=np.float32)
+    R_cw = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t_cw = np.array([0.3, -0.2, 0.5], dtype=np.float32)
+    uv, _ = projection.project(
+        jnp.asarray(R_cw), jnp.asarray(t_cw), jnp.asarray(X), jnp.asarray(INTR)
+    )
+    uv = np.array(uv)
+    uv[:60] = rng.uniform(0, 640, size=(60, 2)).astype(np.float32)
+    uv += rng.normal(scale=0.3, size=uv.shape).astype(np.float32)
+    guess_R = np.asarray(lie.so3_exp(jnp.asarray(w * 0.9)))
+    guess_t = t_cw + 0.05
+    R_est, t_est, inliers, n_in = pnp.solve_pnp_tracked(
+        jax.random.PRNGKey(1),
+        jnp.asarray(X),
+        jnp.asarray(uv),
+        jnp.asarray(INTR),
+        jnp.ones(256, dtype=bool),
+        guess_R=jnp.asarray(guess_R),
+        guess_t=jnp.asarray(guess_t),
+    )
+    np.testing.assert_allclose(np.asarray(R_est), R_cw, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_est), t_cw, atol=2e-2)
+    assert int(n_in) > 180
+
+
+def test_pnp_tracked_bad_prior_falls_back(rng):
+    """Tiered PnP: a garbage prior (relocalization seed) must auto-select
+    the RANSAC branch and still recover the pose."""
+    X, _, _, _, _ = make_scene(rng, n=256)
+    w = np.array([0.1, 0.2, -0.05], dtype=np.float32)
+    R_cw = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t_cw = np.array([0.3, -0.2, 0.5], dtype=np.float32)
+    uv, _ = projection.project(
+        jnp.asarray(R_cw), jnp.asarray(t_cw), jnp.asarray(X), jnp.asarray(INTR)
+    )
+    uv = np.array(uv) + rng.normal(scale=0.3, size=(256, 2)).astype(np.float32)
+    # Prior far from the truth: a wild rotation + offset.
+    bad_R = np.asarray(lie.so3_exp(jnp.asarray(np.array([2.0, -1.5, 0.8], np.float32))))
+    bad_t = t_cw + np.array([3.0, -2.0, 5.0], np.float32)
+    R_est, t_est, _, n_in = pnp.solve_pnp_tracked(
+        jax.random.PRNGKey(3),
+        jnp.asarray(X),
+        jnp.asarray(uv),
+        jnp.asarray(INTR),
+        jnp.ones(256, dtype=bool),
+        guess_R=jnp.asarray(bad_R),
+        guess_t=jnp.asarray(bad_t),
+        n_hyps=256,
+    )
+    np.testing.assert_allclose(np.asarray(R_est), R_cw, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_est), t_cw, atol=3e-2)
+    assert int(n_in) > 200
+
+
 def test_pnp_matches_cv2(rng):
     import cv2
 

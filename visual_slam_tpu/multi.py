@@ -116,7 +116,7 @@ def _batched_window_fn(window: int, statics: tuple):
     return jax.jit(
         jax.vmap(
             fn,
-            in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None),
+            in_axes=(0, 0, 0, 0, 0, 0, None, 0, None, None, None),
         )
     )
 
@@ -205,8 +205,6 @@ def run_batched_windowed(
         ("n_hyps", cfg.tracking.pnp_hypotheses),
         ("refine_iters", cfg.tracking.refine_iters),
         ("cross_check", cfg.frontend.cross_check),
-        ("max_interval", cfg.keyframe.max_interval),
-        ("min_tracked", cfg.keyframe.min_tracked),
         ("min_track_pts", cfg.tracking.min_tracked_points),
     )
     fn = _batched_window_fn(window, statics)
@@ -266,19 +264,16 @@ def run_batched_windowed(
             return jax.device_put(
                 x, NamedSharding(mesh, P("seq", *([None] * spec_dims)))
             )
-        outs = fn(
+        outs, _, _ = fn(
             put(grays, 2),
             put(stack("desc"), 2), put(stack("xyz"), 2), put(stack("valid"), 1),
             put(np.stack([s._prev_R for s in slams] + [slams[0]._prev_R] * pad_b), 2),
             put(np.stack([s._prev_t for s in slams] + [slams[0]._prev_t] * pad_b), 1),
             slams[0].intr,
             put(np.asarray(keys), 2),
-            put(np.asarray([sn["n_valid"] for sn in snaps] + [0] * pad_b, np.int32), 0),
-            put(np.asarray([s._frames_since_kf for s in slams] + [0] * pad_b, np.int32), 0),
             cfg.frontend.match_ratio,
             cfg.frontend.max_hamming,
             cfg.tracking.pnp_threshold_px,
-            cfg.keyframe.tracked_ratio,
         )
         n_devices_used = max(
             n_devices_used, len(outs.sharding.device_set)

@@ -136,7 +136,7 @@ def _track_step(
         max_distance=max_hamming, cross_check=cross_check,
     )
     uv_cur = feats_uv[idx2]
-    R, t, inliers, n_in = pnp.solve_pnp_ransac(
+    R, t, inliers, n_in = pnp.solve_pnp_tracked(
         key,
         snap_xyz,
         uv_cur,
@@ -164,12 +164,11 @@ def _track_step(
     jax.jit,
     static_argnames=(
         "window", "max_features", "quality_level", "nms_radius", "interpret",
-        "n_hyps", "refine_iters", "cross_check",
-        "max_interval", "min_tracked", "min_track_pts",
+        "n_hyps", "refine_iters", "cross_check", "min_track_pts",
     ),
 )
 def _track_window(
-    grays,          # (W,H,Wd) float32 — a whole window of frames
+    grays,          # (W,H,Wd) uint8 or float32 — a whole window of frames
     snap_desc,
     snap_xyz,
     snap_valid,
@@ -177,12 +176,9 @@ def _track_window(
     prev_t,
     intr,
     keys,           # (W,2) PRNG keys, one per frame
-    n_local,        # i32: snapshot valid-point count (keyframe 0.9 rule)
-    since_kf0,      # i32: frames since last keyframe at window start
     ratio,
     max_hamming,
     threshold_px,
-    tracked_ratio,
     *,
     window: int,
     max_features: int,
@@ -192,35 +188,40 @@ def _track_window(
     n_hyps: int,
     refine_iters: int,
     cross_check: bool,
-    max_interval: int,
-    min_tracked: int,
     min_track_pts: int,
 ):
     """A WINDOW of tracking steps as ONE device dispatch.
 
-    The per-frame loop (extract -> match -> PnP -> keyframe rule,
-    ≙ main.py:173-221) runs as a lax.scan over the stacked frames with the
-    pose threaded through the carry, and the keyframe decision (main.py:221)
-    evaluated ON DEVICE. The host fetches one (W,15) packed array per
-    window instead of one packed array per frame — on this backend every
-    host<->device interaction costs ~25-30 ms of tunnel latency, which is
-    the end-to-end throughput ceiling, so cutting dispatch+fetch count ~W×
-    is the lever the per-frame pipelined loop can't reach.
+    The per-frame loop (extract -> match -> tiered PnP, ≙ main.py:173-214)
+    runs as a lax.scan over the stacked frames with the pose threaded
+    through the carry. The host fetches one (W, TOT) packed array per
+    window instead of one per frame — on this backend every host<->device
+    synchronization costs ~50 ms of tunnel latency, which is the end-to-end
+    throughput ceiling, so cutting sync count ~W× is the lever the
+    per-frame pipelined loop can't reach.
+
+    The keyframe rule (main.py:221) is evaluated by the HOST while walking
+    the fetched rows (_walk_window): the host sees every row's inlier count
+    anyway, host evaluation keeps one copy of the rule, and it frees the
+    scan from carrying since-keyframe counters across windows. The pose
+    carry is RETURNED as device arrays so the next window chains on device
+    without any host round trip.
+
+    Frames transfer as raw uint8 (grayscale conversion/normalization happens
+    in the scan): 1/4 the H2D bytes of float32 on a ~1.4 GB/s tunnel.
 
     Safe to fuse: the front-end inside the scan is the Pallas path
     (_extract_pallas_fused — no XLA conv/gather fusions, which misbehave
     on this backend).
 
-    Returns stacked per-frame blobs (W, TOT) — see _pack_blob; ONE array,
-    ONE fetch. Rows after an in-window keyframe or tracking failure are
-    tracked against the then-stale snapshot and are REPLAYED by the host
-    driver (run_windowed).
+    Returns (blobs (W, TOT), R_last, t_last) — blobs is ONE array, ONE
+    fetch; (R_last, t_last) seed the next window's dispatch.
     """
-    n_local_f = jnp.maximum(n_local, 1).astype(jnp.float32)
 
     def step(carry, inp):
-        pR, pt, since = carry
-        gray, key = inp
+        pR, pt = carry
+        img, key = inp
+        gray = frontend.to_gray(img)
         feats = frontend._extract_pallas_fused(
             gray, max_features, interpret, quality_level, nms_radius
         )
@@ -228,20 +229,13 @@ def _track_window(
             snap_desc, feats.desc, snap_valid, feats.valid, ratio=ratio,
             max_distance=max_hamming, cross_check=cross_check,
         )
-        R, t, inliers, n_in = pnp.solve_pnp_ransac(
+        R, t, inliers, n_in = pnp.solve_pnp_tracked(
             key, snap_xyz, feats.uv[idx2], intr, good,
             guess_R=pR, guess_t=pt,
             n_hyps=n_hyps, threshold_px=threshold_px,
             refine_iters=refine_iters,
         )
-        since = since + 1
         fail = n_in < min_track_pts
-        # Keyframe rule ≙ main.py:221, evaluated on device.
-        is_kf = (
-            ((since > max_interval) | (n_in < min_tracked))
-            & (n_in.astype(jnp.float32) < tracked_ratio * n_local_f)
-            & jnp.logical_not(fail)
-        )
         # On failure hold the previous pose (the host relocalizes).
         Rn = jnp.where(fail, pR, R)
         tn = jnp.where(fail, pt, t)
@@ -250,19 +244,19 @@ def _track_window(
                 Rn.reshape(9),
                 tn,
                 n_in[None].astype(jnp.float32),
-                is_kf[None].astype(jnp.float32),
+                jnp.zeros(1, jnp.float32),  # keyframe rule is host-side now
                 fail[None].astype(jnp.float32),
                 jnp.zeros(1, jnp.float32),
             ]
         )
         blob = _pack_blob(header, inliers, idx2, feats.uv, feats.valid,
                           feats.desc)
-        return (Rn, tn, since), blob
+        return (Rn, tn), blob
 
-    (_, _, _), blobs = jax.lax.scan(
-        step, (prev_R, prev_t, since_kf0), (grays, keys), length=window
+    (R_last, t_last), blobs = jax.lax.scan(
+        step, (prev_R, prev_t), (grays, keys), length=window
     )
-    return blobs  # (W, TOT)
+    return blobs, R_last, t_last
 
 
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
@@ -610,6 +604,7 @@ class Slam:
         )
         self._loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._last_loop_kf = -(10**9)
+        self._pending_loop = None  # deferred place-recognition consume
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
 
@@ -837,22 +832,29 @@ class Slam:
             blob=blob,
         )
 
-    def _dispatch_track_window(self, grays_np):
+    def _dispatch_track_window(self, grays_np, carry_dev=None):
         """Dispatch a stacked window of frames as ONE device program
-        (see _track_window). Returns a handle with stacked device outputs."""
+        (see _track_window). `carry_dev`, when given, is the (R, t) device
+        output of the previous window — the pose chain then threads on
+        device across windows with zero host round trips. Returns a handle
+        with stacked device outputs and the new carry."""
         cfg = self.cfg
         snap = self._snapshot
         W = grays_np.shape[0]
         ks = jax.random.split(self.key, W + 1)
         self.key = ks[0]
-        blobs = _track_window(
+        if carry_dev is not None:
+            prev_R, prev_t = carry_dev
+        else:
+            prev_R = jnp.asarray(self._prev_R)
+            prev_t = jnp.asarray(self._prev_t)
+        blobs, R_last, t_last = _track_window(
             jax.device_put(np.ascontiguousarray(grays_np)),
             snap["desc"], snap["xyz"], snap["valid"],
-            jnp.asarray(self._prev_R), jnp.asarray(self._prev_t),
+            prev_R, prev_t,
             self.intr, ks[1:],
-            jnp.int32(snap["n_valid"]), jnp.int32(self._frames_since_kf),
             cfg.frontend.match_ratio, cfg.frontend.max_hamming,
-            cfg.tracking.pnp_threshold_px, cfg.keyframe.tracked_ratio,
+            cfg.tracking.pnp_threshold_px,
             window=W,
             max_features=cfg.frontend.max_features,
             quality_level=cfg.frontend.quality_level,
@@ -861,12 +863,14 @@ class Slam:
             n_hyps=cfg.tracking.pnp_hypotheses,
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
-            max_interval=cfg.keyframe.max_interval,
-            min_tracked=cfg.keyframe.min_tracked,
             min_track_pts=cfg.tracking.min_tracked_points,
         )
         _fetch_async(blobs)
-        return dict(blobs=blobs, snap=snap, snap_epoch=self._snap_epoch)
+        return dict(
+            blobs=blobs, carry=(R_last, t_last), snap=snap,
+            snap_epoch=self._snap_epoch,
+            mine_pending=self._pending_mine is not None,
+        )
 
     def _handle_track_failure(self, feats):
         """Shared tracking-failure path (the reference has no recovery,
@@ -909,17 +913,7 @@ class Slam:
             self._prev_R, self._prev_t = R_np, t_np
         self._frames_since_kf += 1
         n_local = snap["n_valid"]  # host-cached (a device fetch costs ~24 ms)
-        # Keyframe rule ≙ main.py:221.
-        # float32 threshold on purpose: the windowed mode evaluates this
-        # same rule ON DEVICE in f32 (_track_window); computing it here in
-        # f64 could flip borderline frames between the two modes.
-        is_kf = (
-            self._frames_since_kf > cfg.keyframe.max_interval
-            or n_tracked < cfg.keyframe.min_tracked
-        ) and n_tracked < float(
-            np.float32(cfg.keyframe.tracked_ratio) * np.float32(max(n_local, 1))
-        )
-        is_kf = is_kf and n_tracked >= cfg.tracking.min_tracked_points
+        is_kf = self._keyframe_rule(n_tracked, n_local)
         # A relocalized frame's match indices refer to the global snapshot,
         # not the tracking snapshot — never promote it in the same step.
         is_kf = is_kf and not relocalized
@@ -939,40 +933,16 @@ class Slam:
             h.get("snap_epoch", self._snap_epoch) != self._snap_epoch
             or h.get("mine_pending", False)
         ):
-            is_kf = False
-            # The retrack must see the post-mine local map, else it re-runs
-            # against the same starved snapshot it is correcting for.
-            self._apply_pending_mine(force=True)
-            snap = self._snapshot
-            blob2, _, _ = _track_step(
-                feats.desc, feats.uv, feats.valid,
-                snap["desc"], snap["xyz"], snap["valid"],
-                jnp.asarray(R_np), jnp.asarray(t_np),
-                self.intr, self._next_key(),
-                cfg.frontend.match_ratio, cfg.frontend.max_hamming,
-                cfg.tracking.pnp_threshold_px,
-                n_hyps=cfg.tracking.pnp_hypotheses,
-                refine_iters=cfg.tracking.refine_iters,
-                cross_check=cfg.frontend.cross_check,
-            )
-            (blob_np,) = _fetch_now(blob2)
+            blob_np, snap = self._retrack_candidate(feats, R_np, t_np)
             n2 = int(blob_np[12])
-            n_local2 = snap["n_valid"]
-            still_kf = (
-                self._frames_since_kf > cfg.keyframe.max_interval
-                or n2 < cfg.keyframe.min_tracked
-            ) and n2 < float(
-                np.float32(cfg.keyframe.tracked_ratio)
-                * np.float32(max(n_local2, 1))
-            )
-            if still_kf and n2 >= cfg.tracking.min_tracked_points:
-                is_kf = True
+            if self._keyframe_rule(n2, snap["n_valid"]):
                 R_np = blob_np[:9].reshape(3, 3).copy()
                 t_np = blob_np[9:12].copy()
                 self._prev_R, self._prev_t = R_np, t_np
                 n_tracked = n2
                 self.stats["kf_retracked"] = self.stats.get("kf_retracked", 0) + 1
             else:
+                is_kf = False
                 self.stats["kf_vetoed_stale"] = (
                     self.stats.get("kf_vetoed_stale", 0) + 1
                 )
@@ -985,6 +955,48 @@ class Slam:
                 snap=snap,
             )
         self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
+
+    def _keyframe_rule(self, n_tracked: int, n_local: int) -> bool:
+        """Keyframe decision ≙ main.py:221, evaluated host-side.
+
+        float32 threshold on purpose: historical parity with the on-device
+        f32 evaluation — computing it in f64 could flip borderline frames.
+        """
+        cfg = self.cfg
+        want = (
+            self._frames_since_kf > cfg.keyframe.max_interval
+            or n_tracked < cfg.keyframe.min_tracked
+        ) and n_tracked < float(
+            np.float32(cfg.keyframe.tracked_ratio) * np.float32(max(n_local, 1))
+        )
+        return want and n_tracked >= cfg.tracking.min_tracked_points
+
+    def _retrack_candidate(self, feats, R_np, t_np):
+        """Re-track a keyframe candidate against the CURRENT snapshot.
+
+        Used when a candidate's dispatch-time snapshot went stale (a newer
+        keyframe replaced it, or a landmark mine was pending): its match
+        indices describe a superseded landmark set and the keyframe rule was
+        evaluated against a starved local map. Forces the pending mine in
+        first, then runs one synchronous tracking step. Returns
+        (blob_np, snap) — the caller re-applies the keyframe rule.
+        """
+        cfg = self.cfg
+        self._apply_pending_mine(force=True)
+        snap = self._snapshot
+        blob2, _, _ = _track_step(
+            feats.desc, feats.uv, feats.valid,
+            snap["desc"], snap["xyz"], snap["valid"],
+            jnp.asarray(R_np), jnp.asarray(t_np),
+            self.intr, self._next_key(),
+            cfg.frontend.match_ratio, cfg.frontend.max_hamming,
+            cfg.tracking.pnp_threshold_px,
+            n_hyps=cfg.tracking.pnp_hypotheses,
+            refine_iters=cfg.tracking.refine_iters,
+            cross_check=cfg.frontend.cross_check,
+        )
+        (blob_np,) = _fetch_now(blob2)
+        return blob_np, snap
 
     def _relocalize(self, feats):
         """Global-map PnP relocalization after a tracking failure.
@@ -1079,9 +1091,13 @@ class Slam:
                 self._dispatch_mine(kf_id, feats, mapped)
         with self.timers.time("kf_snapshot"):
             self._finish_keyframe(kf_id, feats, mapped, frame_idx)
-        with self.timers.time("kf_loop"):
-            if loop_scores is not None:
-                self._maybe_close_loop(kf_id, feats, loop_scores)
+        if loop_scores is not None:
+            # Deferred consume (like the mine/BA): the scores' async fetch
+            # lands while tracking continues; a synchronous read here costs
+            # a full ~50 ms tunnel sync per scored keyframe.
+            self._pending_loop = dict(
+                kf_id=kf_id, feats=feats, scores=loop_scores, age=0
+            )
         # Full bundle adjustment over the map (≙ main.py:322-323),
         # dispatched async; applied after a couple of tracked frames. When a
         # mine is in flight, the BA dispatch rides with its apply instead
@@ -1236,6 +1252,7 @@ class Slam:
         # lands. Every driver already calls _apply_pending_ba per frame, so
         # no driver changes are needed for the mine to drain.
         self._apply_pending_mine(force=force)
+        self._apply_pending_loop(force=force)
         if self._pending_ba is None:
             return
         out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
@@ -1349,6 +1366,27 @@ class Slam:
         _fetch_async(scores)
         return scores
 
+    def _apply_pending_loop(self, force: bool = False) -> None:
+        """Consume a deferred place-recognition scoring pass once its fetch
+        has landed (or immediately when force=True). Mirrors
+        _apply_pending_mine."""
+        h = self._pending_loop
+        if h is None:
+            return
+        if not force:
+            try:
+                ready = h["scores"].is_ready()
+            except AttributeError:
+                ready = h["age"] >= 2
+            if not ready:
+                h["age"] += 1
+                return
+        else:
+            _spin_ready([h["scores"]])
+        self._pending_loop = None
+        with self.timers.time("kf_loop"):
+            self._maybe_close_loop(h["kf_id"], h["feats"], h["scores"])
+
     def _maybe_close_loop(self, kf_id: int, feats, scores_dev) -> None:
         """Consume the scoring pass; verify and close a detected loop."""
         cfg = self.cfg.loop
@@ -1383,9 +1421,17 @@ class Slam:
         # the in-flight mine (dispatched this keyframe) triangulated against
         # the PRE-correction poses, so land it first — its points then get
         # re-anchored consistently with everything else. Its BA dispatch is
-        # suppressed: the keyframe's BA is dispatched after the correction
-        # (end of _insert_keyframe) so it optimizes the corrected map.
+        # suppressed, and any BA already in flight is DISCARDED: it
+        # optimized the pre-correction geometry, and applying it after the
+        # pose-graph correction would overwrite the corrected poses with
+        # stale ones. A fresh BA over the corrected map is dispatched at the
+        # end of this method instead.
         self._apply_pending_mine(force=True, dispatch_ba=False)
+        if self._pending_ba is not None:
+            self._pending_ba = None
+            self.stats["ba_discarded_loop"] = (
+                self.stats.get("ba_discarded_loop", 0) + 1
+            )
         R_corr = blob_np[:9].reshape(3, 3).astype(np.float32)
         t_corr = blob_np[9:12].astype(np.float32)
         # Cross-observations: the verified matches are sightings of the OLD
@@ -1430,6 +1476,8 @@ class Slam:
         self._pose_dev = None
         self._last_loop_kf = kf_id
         self.stats["loop_closures"] = self.stats.get("loop_closures", 0) + 1
+        # Fresh full BA over the corrected map (replaces the discarded one).
+        self._dispatch_ba(kf_id, scale_gauge=False)
 
     def _build_pose_graph(self):
         """Keyframe chain + accumulated loop edges, padded to an 8-edge
@@ -1474,6 +1522,7 @@ class Slam:
         EdgeSE3/EdgeSBAScale chain the reference builds in LocalBA.py:97-131).
         Updates keyframe poses (landmarks re-anchored) and rewrites the
         trajectory entries of keyframe frames."""
+        self._apply_pending_ba(force=True)  # land deferred mine/loop/BA first
         g = self._build_pose_graph()
         R, t, cost = pose_graph_mod().optimize(
             g, n_iters=n_iters, use_dcs=bool(self._loop_edges)
@@ -1540,6 +1589,21 @@ def run_pipelined(
         if prof is not None:
             prof[key] = prof.get(key, 0.0) + (_time.perf_counter() - t0)
 
+    def drain_init_to_tracking():
+        """On init acceptance, convert the in-flight init attempts (frames
+        NEWER than the accepted pair) into tracking dispatches — their
+        features are already on device, and dropping them would leave a
+        pipeline_depth-sized hole in the trajectory."""
+        leftover = list(init_pending)
+        init_pending.clear()
+        for h2 in leftover:
+            slam._apply_pending_ba()
+            pending.append(
+                slam._dispatch_track(
+                    h2["frame_idx"], h2["feats"], h2.get("depth")
+                )
+            )
+
     def dispatch(i, feats, depth):
         if not slam.initialized:
             if cfg.use_depth and depth is not None:
@@ -1553,6 +1617,7 @@ def run_pipelined(
             t0 = _time.perf_counter()
             h = slam._dispatch_init(i, feats, fetch=fetch_batch == 0)
             if h is not None:
+                h["depth"] = depth
                 if fetch_batch > 0:
                     h["batch"] = state["init_batch"]
                     h["slot"] = state["init_batch"].add(h["blob"])
@@ -1564,7 +1629,7 @@ def run_pipelined(
             t0 = _time.perf_counter()
             while len(init_pending) > depth_cap:
                 if slam._consume_init(init_pending.popleft()):
-                    init_pending.clear()
+                    drain_init_to_tracking()
                     break
             tick("consume_init", t0)
         else:
@@ -1630,6 +1695,7 @@ def run_pipelined(
     flush_block()
     while init_pending:
         if slam._consume_init(init_pending.popleft()):
+            drain_init_to_tracking()
             break
     while pending:
         slam._consume_track(pending.popleft())
@@ -1705,6 +1771,7 @@ def run_windowed(
             if not slam.initialized:
                 return slam
 
+    carry_dev = None  # (R, t) device outputs of the previous window
     while True:
         win = []
         while len(win) < window:
@@ -1715,32 +1782,63 @@ def run_windowed(
         if not win:
             slam._apply_pending_ba(force=True)  # final keyframe's BA
             return slam
-        # A pending mine must land before the window dispatch: the on-device
-        # keyframe rule inside the scan reads n_local of the snapshot we
-        # stack NOW — a starved pre-mine snapshot would make it fire early.
-        slam._apply_pending_mine(force=True)
+        # Land pending async work if its results have arrived (they usually
+        # have: a window is one ~50 ms sync behind the dispatch that started
+        # them). Not forced — a still-in-flight mine just marks the window
+        # handle, and any keyframe candidate then re-tracks (rare).
+        slam._apply_pending_mine()
         slam._apply_pending_ba()
         n_real = len(win)
         grays = [w[1] for w in win] + [win[-1][1]] * (window - n_real)
-        h = slam._dispatch_track_window(np.stack(grays))
+        h = slam._dispatch_track_window(np.stack(grays), carry_dev)
         # ONE array, ONE fetch for the whole window's outputs (~1 MB):
-        # fetching per-row arrays separately costs a ~36 ms tunnel round
+        # fetching per-row arrays separately costs a full tunnel round
         # trip EACH on this backend.
         (blobs_np,) = _fetch_now(h["blobs"])
-        carry[:0] = _walk_window(slam, win, blobs_np, h["snap"], on_frame)
+        carry_dev = h["carry"]
+        replay = _walk_window(
+            slam, win, blobs_np, h["snap"], on_frame,
+            mine_pending=h["mine_pending"], snap_epoch=h["snap_epoch"],
+        )
+        if replay:
+            # Only a tracking failure replays (the pose chain through the
+            # remaining rows is garbage); the host reseeded the pose.
+            carry_dev = None
+            carry[:0] = replay
     return slam
 
 
-def _walk_window(slam, win, blobs_np, snap, on_frame=None):
-    """Walk one window's FETCHED blob rows (W, TOT) up to the first event.
+def _walk_window(slam, win, blobs_np, snap, on_frame=None,
+                 mine_pending=False, snap_epoch=None):
+    """Walk one window's FETCHED blob rows (W, TOT), applying the host-side
+    keyframe rule (≙ main.py:221) to every row.
 
     Shared by run_windowed (single sequence) and multi.run_batched_windowed
-    (one walk per sequence slice). Returns the frames to replay (everything
-    after an event row — those were tracked against a snapshot/pose chain
-    the event invalidated)."""
+    (one walk per sequence slice).
+
+    A keyframe row does NOT invalidate the remaining rows: their PnP poses
+    were solved against the pre-keyframe snapshot — exactly the last
+    keyframe's frozen local-map copy the reference tracks against
+    (main.py:154,333) — so they stand as trajectory entries, and only a
+    LATER keyframe candidate inside the same window must re-track against
+    the refreshed snapshot (its match indices describe the superseded
+    landmark set, and the 0.9 rule needs the post-mine n_local). Only a
+    tracking FAILURE breaks the pose chain; the frames after it are
+    returned for replay."""
     n_real = len(win)
     M = int(snap["valid"].shape[0])
     K = int(slam.cfg.frontend.max_features)
+    stale = mine_pending or (
+        snap_epoch is not None and snap_epoch != slam._snap_epoch
+    )
+    # One vetoed re-track per window: a veto proves the FRESH snapshot
+    # tracks the scene fine, and every later row of this window carries the
+    # same stale-count symptom (n_in measured against the pre-keyframe
+    # snapshot), so re-checking each of them would pay a ~50 ms tunnel sync
+    # per row for the same answer. The hard cases stay covered: a CONFIRMED
+    # candidate inserts (resetting the cadence), and a true tracking
+    # collapse trips the failure path, not the keyframe rule.
+    suppressed = False
 
     for r in range(n_real):
         idx = win[r][0]
@@ -1748,7 +1846,6 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None):
         R_np = row[:9].reshape(3, 3).copy()
         t_np = row[9:12].copy()
         n_in = int(row[12])
-        is_kf = row[13] > 0.5
         fail = row[14] > 0.5
         if fail:
             _, _, feats = _unpack_blob(row, M, K)
@@ -1761,17 +1858,38 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None):
             return win[r + 1 : n_real]
         slam._prev_R, slam._prev_t = R_np, t_np
         slam._frames_since_kf += 1
+        is_kf = slam._keyframe_rule(n_in, snap["n_valid"]) and not suppressed
         if is_kf:
             inl, idx2, feats = _unpack_blob(row, M, K)
-            slam._insert_keyframe(
-                idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
-            )
-            slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, True))
-            if on_frame is not None:
-                on_frame(slam, idx)
-            # Later rows reference the superseded snapshot: replay.
-            return win[r + 1 : n_real]
-        slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
+            if stale:
+                blob2, snap2 = slam._retrack_candidate(feats, R_np, t_np)
+                n2 = int(blob2[12])
+                if slam._keyframe_rule(n2, snap2["n_valid"]):
+                    R_np = blob2[:9].reshape(3, 3).copy()
+                    t_np = blob2[9:12].copy()
+                    slam._prev_R, slam._prev_t = R_np, t_np
+                    n_in = n2
+                    M2 = int(snap2["valid"].shape[0])
+                    inl, idx2, feats = _unpack_blob(blob2, M2, K)
+                    slam._insert_keyframe(
+                        idx, feats, R_np, t_np, inl, idx2, win[r][2],
+                        snap=snap2,
+                    )
+                    slam.stats["kf_retracked"] = (
+                        slam.stats.get("kf_retracked", 0) + 1
+                    )
+                else:
+                    is_kf = False
+                    suppressed = True
+                    slam.stats["kf_vetoed_stale"] = (
+                        slam.stats.get("kf_vetoed_stale", 0) + 1
+                    )
+            else:
+                slam._insert_keyframe(
+                    idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
+                )
+                stale = True  # later candidates re-track vs the new snapshot
+        slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, is_kf))
         if on_frame is not None:
             on_frame(slam, idx)
     return []
