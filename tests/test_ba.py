@@ -142,9 +142,11 @@ def test_ba_huber_resists_outliers(rng):
 
 
 def test_motion_only_ba(rng):
+    """points_fixed solve ≙ motionOnlyBundleAdjustement (LocalBA.py:195-229);
+    the production per-frame variant is ops/pnp.pnp_gauss_newton."""
     prob, (R_gt, t_gt, X_gt) = synth_problem(rng, pose_noise=0.03, point_noise=0.0)
     # points are exact; only poses perturbed; motion-only must fix poses.
-    out, _ = ba.motion_only(prob, n_iters=10)
+    out, _ = ba.optimize(prob, n_iters=10, points_fixed=True)
     np.testing.assert_allclose(np.asarray(out.X), np.asarray(prob.X), atol=0)
     np.testing.assert_allclose(np.asarray(out.R), R_gt, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.t), t_gt, atol=1e-2)

@@ -32,6 +32,10 @@ class TwoViewConfig:
     min_valid_fraction: float = 0.9  # cheirality gate (main.py:113-114)
     distance_thresh: float = 50.0  # recoverPose distanceThresh (helper_functions.py:176)
     min_init_parallax_deg: float = 1.0  # median-parallax init gate (new; see pipeline._init_step)
+    # Windowed-init pre-screen floor (pipeline._init_scan_window): frames
+    # whose median match flow is below this cannot approach the 0.9
+    # validFraction gate and are skipped without a full RANSAC attempt.
+    min_flow_px: float = 30.0
     use_model_selection: bool = False  # homography-vs-essential init (v1 slam_test.py:207-218)
 
 

@@ -577,10 +577,9 @@ def median_depth_normalize(p: BAProblem, point_valid=None) -> BAProblem:
     return p._replace(t=p.t / scale, X=p.X / scale)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "use_depth"))
-def motion_only(
-    p: BAProblem, n_iters: int = 10, use_depth: bool = False
-) -> tuple[BAProblem, jnp.ndarray]:
-    """Motion-only BA: all landmarks fixed, fixed cams (keyframes) untouched
-    (≙ motionOnlyBundleAdjustement, LocalBA.py:195-229)."""
-    return optimize(p, n_iters=n_iters, points_fixed=True, use_depth=use_depth)
+# NOTE: the reference's per-frame motion-only BA (motionOnlyBundleAdjustement,
+# LocalBA.py:195-229) is served in production by ops/pnp.pnp_gauss_newton —
+# the identical math (landmarks fixed, Huber-weighted reprojection GN on one
+# camera) fused into the tracking step. A whole-problem points_fixed solve
+# remains available via optimize(p, points_fixed=True); there is no separate
+# public wrapper (round-2 review: dead public surface hides the real contract).

@@ -59,6 +59,18 @@ class KeyframeFeatureDB:
         self._valid_dev = None
 
     def add(self, kf_id: int, desc: np.ndarray, valid: np.ndarray) -> None:
+        while kf_id >= self.desc.shape[0]:
+            # Keep pace with SlamMap keyframe growth (map_state._grow_keyframes).
+            K = self.desc.shape[0]
+            self.desc = np.concatenate([self.desc, np.zeros_like(self.desc)])
+            self.valid = np.concatenate([self.valid, np.zeros_like(self.valid)])
+            if self._desc_dev is not None:
+                self._desc_dev = jnp.concatenate(
+                    [self._desc_dev, jnp.zeros_like(self._desc_dev)]
+                )
+                self._valid_dev = jnp.concatenate(
+                    [self._valid_dev, jnp.zeros_like(self._valid_dev)]
+                )
         self.desc[kf_id] = desc
         self.valid[kf_id] = valid
         self.n = max(self.n, kf_id + 1)

@@ -67,10 +67,46 @@ class SlamMap:
     # -- insertion (≙ Map.AddFrame/AddParentAndPose map.py:9-14,114-118,
     #    Map.AddPoint3D map.py:74-80, Point.AddFrame point.py:25-26) --
 
+    def _grow_keyframes(self) -> None:
+        """Double keyframe capacity. Capacities are compile-time shapes for
+        the BA problem, so growth costs one fresh XLA compile of the BA
+        bucket — vs. the alternative of crashing mid-sequence (the round-2
+        review flagged the RuntimeError walls as reachable on long runs)."""
+        K = self.config.max_keyframes
+        self.kf_R = np.concatenate(
+            [self.kf_R, np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))]
+        )
+        self.kf_t = np.concatenate([self.kf_t, np.zeros((K, 3), np.float32)])
+        self.kf_valid = np.concatenate([self.kf_valid, np.zeros(K, bool)])
+        self.kf_frame_idx = np.concatenate(
+            [self.kf_frame_idx, np.full(K, -1, np.int64)]
+        )
+        self.kf_scale_meas = np.concatenate(
+            [self.kf_scale_meas, np.zeros(K, np.float32)]
+        )
+        self.config.max_keyframes = 2 * K
+
+    def _grow_points(self) -> None:
+        P = self.config.max_points
+        self.pt_xyz = np.concatenate([self.pt_xyz, np.zeros((P, 3), np.float32)])
+        self.pt_desc = np.concatenate([self.pt_desc, np.zeros((P, 8), np.uint32)])
+        self.pt_valid = np.concatenate([self.pt_valid, np.zeros(P, bool)])
+        self.pt_views = np.concatenate([self.pt_views, np.zeros(P, np.int32)])
+        self.config.max_points = 2 * P
+
+    def _grow_observations(self) -> None:
+        O = self.config.max_observations
+        self.obs_cam = np.concatenate([self.obs_cam, np.zeros(O, np.int32)])
+        self.obs_pt = np.concatenate([self.obs_pt, np.zeros(O, np.int32)])
+        self.obs_uv = np.concatenate([self.obs_uv, np.zeros((O, 2), np.float32)])
+        self.obs_depth = np.concatenate([self.obs_depth, np.zeros(O, np.float32)])
+        self.obs_valid = np.concatenate([self.obs_valid, np.zeros(O, bool)])
+        self.config.max_observations = 2 * O
+
     def add_keyframe(self, R_cw: np.ndarray, t_cw: np.ndarray, frame_idx: int) -> int:
         k = self.n_kf
         if k >= self.config.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded")
+            self._grow_keyframes()
         self.kf_R[k] = R_cw
         self.kf_t[k] = t_cw
         self.kf_valid[k] = True
@@ -85,8 +121,8 @@ class SlamMap:
     def add_points(self, xyz: np.ndarray, desc: np.ndarray) -> np.ndarray:
         """Insert N landmarks; returns their slot ids."""
         n = len(xyz)
-        if self.n_pt + n > self.config.max_points:
-            raise RuntimeError("point capacity exceeded")
+        while self.n_pt + n > self.config.max_points:
+            self._grow_points()
         ids = np.arange(self.n_pt, self.n_pt + n)
         self.pt_xyz[ids] = xyz
         self.pt_desc[ids] = desc
@@ -108,8 +144,8 @@ class SlamMap:
         (<=0 = no measurement) for the RGB-D inverse-depth BA residual.
         """
         n = len(pt_ids)
-        if self.n_obs + n > self.config.max_observations:
-            raise RuntimeError("observation capacity exceeded")
+        while self.n_obs + n > self.config.max_observations:
+            self._grow_observations()
         sl = slice(self.n_obs, self.n_obs + n)
         self.obs_cam[sl] = kf_id
         self.obs_pt[sl] = pt_ids
@@ -280,12 +316,44 @@ class SlamMap:
 
     def prune_obs_from_ba(self, bad_slots: np.ndarray, meta=None) -> int:
         """Invalidate map observations whose packed slot was flagged bad by
-        the BA step. Returns the number pruned."""
+        the BA step. Returns the number pruned.
+
+        pt_views is decremented for the pruned sightings so that
+        `cull_points` compares the LIVE observation count against
+        min_views — the reference's semantics (Point.GetNVisibleFrames,
+        point.py:58-59, counts current observations, not lifetime ones)."""
         if meta is None:
             meta = self.ba_meta
         sel = bad_slots[: len(meta.slot_obs)] & (meta.slot_obs >= 0)
         rows = meta.slot_obs[sel]
         if len(rows) == 0:
             return 0
+        # Guard against double-pruning (a slot can be flagged again if the
+        # same problem meta is replayed): only live rows decrement views.
+        rows = rows[self.obs_valid[rows]]
+        if len(rows) == 0:
+            return 0
         self.obs_valid[rows] = False
+        np.subtract.at(self.pt_views, self.obs_pt[rows], 1)
         return len(rows)
+
+    def compact_observations(self, min_dead_fraction: float = 0.25) -> int:
+        """Rewrite the observation table without its dead rows.
+
+        Pruned observations otherwise stay as zero-weight dead weight in
+        every future BA pack (n_obs is monotonic). Call only at a safe
+        point: row indices recorded in any in-flight ba_meta become stale.
+        Returns the number of rows reclaimed (0 when below the threshold).
+        """
+        n = self.n_obs
+        dead = n - int(self.obs_valid[:n].sum())
+        if n == 0 or dead < min_dead_fraction * n:
+            return 0
+        keep = np.where(self.obs_valid[:n])[0]
+        m = len(keep)
+        for name in ("obs_cam", "obs_pt", "obs_uv", "obs_depth", "obs_valid"):
+            a = getattr(self, name)
+            a[:m] = a[keep]
+            a[m:n] = 0
+        self.n_obs = m
+        return n - m

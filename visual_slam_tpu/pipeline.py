@@ -259,6 +259,66 @@ def _track_window(
     return blobs, R_last, t_last
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "max_features", "quality_level", "nms_radius", "interpret",
+        "cross_check",
+    ),
+)
+def _init_scan_window(
+    grays,          # (W,H,Wd) uint8 or float32
+    f0_desc,
+    f0_uv,
+    f0_valid,
+    ratio,
+    max_hamming,
+    *,
+    window: int,
+    max_features: int,
+    quality_level: float,
+    nms_radius: int,
+    interpret: bool,
+    cross_check: bool,
+):
+    """Cheap init-phase pre-screen for a WINDOW of frames in ONE dispatch.
+
+    For each frame: extract, match against the ANCHOR frame's features, and
+    report (match count, median flow magnitude of the matches) — the host
+    then runs the expensive full init attempt (_init_step: 512-hypothesis
+    essential RANSAC + cheirality + parallax) only on the most promising
+    frame per window. Rationale: the reference runs its full init pipeline
+    every frame (main.py:88-138) because OpenCV calls are cheap on host;
+    here every per-frame attempt costs a ~50 ms tunnel sync, and the
+    binding accept gate (validFraction >= 0.9, main.py:113-114) is
+    impossible at near-zero flow — measured on lr traj3: validFraction
+    reaches 0.36 only at ~87 px median flow, so frames under a
+    conservative flow floor cannot pass and need no attempt.
+
+    Returns (W, 2) float32: [n_matches, median_flow_px] per frame.
+    """
+
+    def step(carry, img):
+        gray = frontend.to_gray(img)
+        feats = frontend._extract_pallas_fused(
+            gray, max_features, interpret, quality_level, nms_radius
+        )
+        idx2, dist, good = match.match_ratio_test(
+            f0_desc, feats.desc, f0_valid, feats.valid, ratio=ratio,
+            max_distance=max_hamming, cross_check=cross_check,
+        )
+        flow = feats.uv[idx2] - f0_uv
+        mag = jnp.sqrt(jnp.sum(flow * flow, axis=-1) + 1e-12)
+        mag = jnp.where(good, mag, jnp.inf)
+        n_match = jnp.sum(good)
+        mag_sorted = jnp.sort(mag)
+        med = mag_sorted[(jnp.maximum(n_match, 1) - 1) // 2]
+        return carry, jnp.stack([n_match.astype(jnp.float32), med])
+
+    _, scal = jax.lax.scan(step, None, grays, length=window)
+    return scal  # (W, 2)
+
+
 @partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
 def _init_step(
     f0_desc,
@@ -510,40 +570,6 @@ def _fetch_now(*arrays):
     return [np.asarray(a) for a in arrays]
 
 
-class _FetchBatch:
-    """Batches many frames' small per-frame results into ONE tunnel flush.
-
-    The tunnel charges ~30 ms per device->host interaction regardless of
-    size, so fetching each frame's result blob individually caps
-    the whole pipeline at ~33 frames/s. Stacking B frames' results on
-    device and fetching once costs ~30/B ms per frame instead.
-    """
-
-    def __init__(self):
-        self.items: list = []
-        self._stacked = None
-        self._host = None
-
-    def __len__(self):
-        return len(self.items)
-
-    def add(self, arr) -> int:
-        self.items.append(arr)
-        return len(self.items) - 1
-
-    def seal(self) -> None:
-        if self._stacked is None and self.items:
-            self._stacked = jnp.stack(self.items)
-            _fetch_async(self._stacked)
-
-    def get(self, slot: int) -> np.ndarray:
-        if self._host is None:
-            self.seal()
-            _spin_ready([self._stacked], timeout_s=5.0)
-            self._host = np.asarray(self._stacked)
-        return self._host[slot]
-
-
 def _backproject_depth(uv: np.ndarray, depth: np.ndarray, intr: np.ndarray):
     """Backproject pixels through a metric depth map (camera frame).
 
@@ -640,7 +666,7 @@ class Slam:
         if h is not None:
             self._consume_init(h)
 
-    def _dispatch_init(self, frame_idx, feats, fetch: bool = True):
+    def _dispatch_init(self, frame_idx, feats):
         """Dispatch one two-view init attempt without fetching (pipelining
         support — the init phase is otherwise one blocking ~25 ms tunnel
         fetch per frame). Returns a handle, or None for the anchor frame."""
@@ -670,8 +696,7 @@ class Slam:
             model_selection=cfg.twoview.use_model_selection,
             cross_check=cfg.frontend.cross_check,
         )
-        if fetch:
-            _fetch_async(blob)  # ONE async copy per init attempt
+        _fetch_async(blob)  # ONE async copy per init attempt
         return dict(frame_idx=frame_idx, feats=feats, blob=blob)
 
     def _consume_init(self, h) -> bool:
@@ -680,10 +705,7 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats = h["frame_idx"], h["feats"]
         f0 = self._init_feats
-        if "batch" in h:
-            row = h["batch"].get(h["slot"])
-        else:
-            row = np.asarray(h["blob"])  # ONE fetch: gates + full accept data
+        row = np.asarray(h["blob"])  # ONE fetch: gates + full accept data
         K = int(self.cfg.frontend.max_features)
         scalars_np, R1, t1, idx2_np, good_np, X_np, feats_host = (
             _unpack_init_blob(row, K)
@@ -774,7 +796,7 @@ class Slam:
             h = self._dispatch_track(frame_idx, feats, depth)
             self._consume_track(h)
 
-    def _dispatch_track(self, frame_idx, feats, depth, fetch: bool = True):
+    def _dispatch_track(self, frame_idx, feats, depth):
         """Dispatch one tracking step without fetching (pipelining support).
 
         The PnP seed pose comes from the previous dispatch's DEVICE output
@@ -813,12 +835,11 @@ class Slam:
             cross_check=cfg.frontend.cross_check,
         )
         self._pose_dev = (R_dev, t_dev)
-        if fetch:
-            # ONE async copy per frame. The blob carries the frame's feature
-            # arrays too (any frame can become a keyframe) — fetching them
-            # as separate arrays measured ~36 ms of tunnel round trip EACH,
-            # 130+ ms per keyframe cold.
-            _fetch_async(blob)
+        # ONE async copy per frame. The blob carries the frame's feature
+        # arrays too (any frame can become a keyframe) — fetching them
+        # as separate arrays measured ~36 ms of tunnel round trip EACH,
+        # 130+ ms per keyframe cold.
+        _fetch_async(blob)
         return dict(
             frame_idx=frame_idx,
             feats=feats,
@@ -896,10 +917,7 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
         snap = h["snap"]
-        if "batch" in h:
-            blob_np = h["batch"].get(h["slot"])
-        else:
-            blob_np = np.asarray(h["blob"])
+        blob_np = np.asarray(h["blob"])
         R = blob_np[:9].reshape(3, 3)
         t = blob_np[9:12]
         n_tracked = int(blob_np[12])
@@ -1305,6 +1323,14 @@ class Slam:
         if bad_np.any():
             n = self.map.prune_obs_from_ba(bad_np, meta)
             self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + n
+        # Safe point for table compaction: the consumed BA's meta was the
+        # only holder of observation-row indices, and no other BA is in
+        # flight here (this method just cleared _pending_ba).
+        reclaimed = self.map.compact_observations()
+        if reclaimed:
+            self.stats["obs_compacted"] = (
+                self.stats.get("obs_compacted", 0) + reclaimed
+            )
         self.stats["ba_runs"] += 1
         # The optimized landmarks replace the tracking snapshot (pose
         # continuity kept: the tracker's prev pose is not rewritten). No
@@ -1557,20 +1583,16 @@ def run_pipelined(
     slam: "Slam",
     frame_iter,
     pipeline_depth: int = 6,
-    h2d_block: int = 1,
-    fetch_batch: int = 0,
+    h2d_block: int = 4,
     prof: dict | None = None,
     on_frame=None,
 ):
     """Drive a Slam over (frame_idx, image_or_feats, depth) tuples with a
     `pipeline_depth`-deep in-flight window.
 
-    Tunnel-latency knobs (every host<->device interaction costs ~25-30 ms
-    on this backend):
-      * h2d_block > 1: host images transfer in stacked blocks — one
-        device_put per block, sliced on device.
-      * fetch_batch > 0: per-frame result scalars are fetched in stacked
-        flushes (_FetchBatch) instead of per-frame async copies.
+    h2d_block > 1 transfers host images in stacked blocks — one device_put
+    per block, sliced on device (each device_put pays a tunnel round trip
+    on this backend; the default blocks 4 frames per transfer).
     Consumes run at the depth cap. Keyframe/failure logic therefore lags
     ~pipeline_depth frames; stale keyframe candidates are re-tracked
     against the current snapshot in _consume_track.
@@ -1582,8 +1604,7 @@ def run_pipelined(
     cfg = slam.cfg
     pending: deque = deque()
     init_pending: deque = deque()
-    depth_cap = max(pipeline_depth, fetch_batch + 2)
-    state = dict(track_batch=_FetchBatch(), init_batch=_FetchBatch())
+    depth_cap = pipeline_depth
 
     def tick(key, t0):
         if prof is not None:
@@ -1615,15 +1636,9 @@ def run_pipelined(
                 slam._try_initialize(i, feats, depth)
                 return
             t0 = _time.perf_counter()
-            h = slam._dispatch_init(i, feats, fetch=fetch_batch == 0)
+            h = slam._dispatch_init(i, feats)
             if h is not None:
                 h["depth"] = depth
-                if fetch_batch > 0:
-                    h["batch"] = state["init_batch"]
-                    h["slot"] = state["init_batch"].add(h["blob"])
-                    if len(state["init_batch"]) >= fetch_batch:
-                        state["init_batch"].seal()
-                        state["init_batch"] = _FetchBatch()
                 init_pending.append(h)
             tick("dispatch_init", t0)
             t0 = _time.perf_counter()
@@ -1638,14 +1653,7 @@ def run_pipelined(
             slam._apply_pending_ba()
             tick("apply_ba", t0)
             t0 = _time.perf_counter()
-            h = slam._dispatch_track(i, feats, depth, fetch=fetch_batch == 0)
-            if fetch_batch > 0:
-                h["batch"] = state["track_batch"]
-                h["slot"] = state["track_batch"].add(h["blob"])
-                if len(state["track_batch"]) >= fetch_batch:
-                    state["track_batch"].seal()
-                    state["track_batch"] = _FetchBatch()
-            pending.append(h)
+            pending.append(slam._dispatch_track(i, feats, depth))
             tick("dispatch_track", t0)
             t0 = _time.perf_counter()
             if len(pending) > depth_cap:
@@ -1756,20 +1764,86 @@ def run_windowed(
                 if on_frame is not None:
                     on_frame(slam, fr[0])
         else:
-            # Monocular: pipelined two-view init attempts (overlap the
-            # per-frame dispatch fetches).
-            def init_iter():
-                while not slam.initialized:
+            # Monocular: windowed init — one cheap pre-screen dispatch per
+            # window (_init_scan_window), then at most one full two-view
+            # attempt on the best candidate. Frames after an accepted
+            # candidate flow into the tracking phase below.
+            cfg = slam.cfg
+            while not slam.initialized:
+                win = []
+                while len(win) < window:
                     fr = next_frame()
                     if fr is None:
-                        return
-                    yield fr
+                        break
+                    win.append(fr)
+                if not win:
+                    return slam
+                if slam._init_feats is None:
+                    feats0 = frontend.extract(
+                        jnp.asarray(win[0][1]), cfg.frontend.max_features,
+                        cfg.frontend.quality_level, cfg.frontend.nms_radius,
+                    )
+                    slam._dispatch_init(win[0][0], feats0)  # sets the anchor
                     if on_frame is not None:
-                        on_frame(slam, fr[0])
-
-            run_pipelined(slam, init_iter(), pipeline_depth=window)
-            if not slam.initialized:
-                return slam
+                        on_frame(slam, win[0][0])
+                    win = win[1:]
+                    if not win:
+                        continue
+                f0 = slam._init_feats
+                n_real = len(win)
+                # Pad to the fixed window size: every distinct scan length
+                # is a separate XLA compile on this backend's remote
+                # compile service (seconds to minutes each).
+                grays = np.stack(
+                    [w[1] for w in win] + [win[-1][1]] * (window - n_real)
+                )
+                scal = _init_scan_window(
+                    jax.device_put(np.ascontiguousarray(grays)),
+                    f0.desc, f0.uv, f0.valid,
+                    cfg.frontend.match_ratio, cfg.frontend.max_hamming,
+                    window=window,
+                    max_features=cfg.frontend.max_features,
+                    quality_level=cfg.frontend.quality_level,
+                    nms_radius=cfg.frontend.nms_radius,
+                    interpret=jax.default_backend() != "tpu",
+                    cross_check=cfg.frontend.cross_check,
+                )
+                (scal_np,) = _fetch_now(scal)
+                scal_np = scal_np[:n_real]
+                ok = (scal_np[:, 0] >= cfg.twoview.min_matches) & (
+                    scal_np[:, 1] >= cfg.twoview.min_flow_px
+                )
+                cands = np.where(ok)[0]
+                if len(cands) == 0:
+                    continue
+                # Up to 6 evenly spaced candidates, in frame order: the
+                # accept band is narrow (early frames fail validFraction,
+                # late frames lose matches to the widening baseline), so a
+                # spread of full attempts brackets it. All attempts dispatch
+                # async; their blobs land in ONE flush; _consume_init walks
+                # them in order and the FIRST pair passing every gate
+                # initializes — ≙ the reference's first-accepting-pair rule
+                # (main.py:136-138) at window granularity.
+                if len(cands) > 16:
+                    cands = cands[np.round(np.linspace(0, len(cands) - 1, 16)).astype(int)]
+                handles = []
+                for c in cands:
+                    idx, gray, depth = win[int(c)]
+                    feats = frontend.extract(
+                        jnp.asarray(gray), cfg.frontend.max_features,
+                        cfg.frontend.quality_level, cfg.frontend.nms_radius,
+                    )
+                    h = slam._dispatch_init(idx, feats)
+                    h["win_pos"] = int(c)
+                    handles.append(h)
+                _fetch_now(*[h["blob"] for h in handles])
+                for h in handles:
+                    if slam._consume_init(h):
+                        # Remaining frames of this window enter tracking.
+                        carry[:0] = win[h["win_pos"] + 1 :]
+                        if on_frame is not None:
+                            on_frame(slam, h["frame_idx"])
+                        break
 
     carry_dev = None  # (R, t) device outputs of the previous window
     while True:

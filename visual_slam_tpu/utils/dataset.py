@@ -80,7 +80,22 @@ class ICLNUIMDataset:
         return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
 
     def frames(self, start: int = 0, stop: int | None = None) -> Iterator[tuple[int, np.ndarray, np.ndarray]]:
+        """Yield (idx, gray, depth). With the native loader available, gray
+        is uint8 and decode runs in the C++ thread pool (prefetched ahead of
+        the consumer); the PIL fallback yields float32 gray. Both forms are
+        accepted device-side (frontend.to_gray normalizes by dtype)."""
         stop = stop if stop is not None else len(self)
+        from .. import native
+
+        if native.available():
+            loader, off = self.async_loader(start, stop)
+            try:
+                for i in range(start, stop):
+                    gray, depth = loader.get_gray(i - off)
+                    yield i, gray, depth
+            finally:
+                loader.close()
+            return
         for i in range(start, stop):
             yield i, self.gray(i), self.depth(i)
 
