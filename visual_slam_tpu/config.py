@@ -52,6 +52,14 @@ class KeyframeConfig:
     max_interval: int = 20  # main.py:221
     min_tracked: int = 80  # main.py:221
     tracked_ratio: float = 0.9  # main.py:221
+    # Minimum frames between keyframes (new; the reference has no floor).
+    # The windowed driver evaluates the rule against each window's frozen
+    # dispatch snapshot (one-to-two windows of lag under speculation), so
+    # right after an insertion the rule's counts briefly describe the
+    # superseded map and can fire spuriously; this floor absorbs that
+    # transient instead of paying a ~50 ms re-track sync per candidate.
+    # Half the tracking window; well under max_interval.
+    min_gap: int = 10
     cull_min_views: int = 3  # main.py:235
     cull_every: int = 4  # main.py:234
     cull_after: int = 6  # main.py:234

@@ -199,6 +199,7 @@ class SlamMap:
             valid=jnp.asarray(valid),
             n_valid=n,  # host-side count: reading it must not cost a fetch
             pt_ids_np=pid,  # host copy: reading it must not cost a fetch
+            uv_np=uv,  # host copy (viewer match overlay; no fetch)
         )
 
     def global_snapshot(self):
@@ -226,6 +227,7 @@ class SlamMap:
             valid=jnp.asarray(valid),
             n_valid=n,
             pt_ids_np=pid,
+            uv_np=np.zeros((M, 2), np.float32),
         )
 
     def refresh_scale_meas(self) -> None:

@@ -226,8 +226,8 @@ def run_batched_windowed(
         if not any_live:
             break
         for slam in slams:
-            # Pending mines must land before stacking snapshots: the
-            # on-device keyframe rule reads each snapshot's n_local.
+            # Pending mines must land before stacking snapshots (the host
+            # rule reads each snapshot's n_local).
             slam._apply_pending_mine(force=True)
             slam._apply_pending_ba()
         grays = np.stack(

@@ -153,8 +153,8 @@ def solve_pnp_tracked(
     n_hyps: int = 128,
     threshold_px: float = 8.0,
     refine_iters: int = 10,
-    min_inliers: int = 30,
-    min_inlier_frac: float = 0.5,
+    min_inliers: int = 25,
+    min_inlier_frac: float = 0.25,
 ):
     """Tiered PnP for the tracking hot path: prior-seeded Gauss-Newton first,
     full batched RANSAC only when the refined pose cannot explain the

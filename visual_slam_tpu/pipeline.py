@@ -717,6 +717,23 @@ class Slam:
             return False
         if scalars_np[2] < cfg.twoview.min_init_parallax_deg:
             return False
+        if not h.get("reverified"):
+            # validFraction is a HIGH-VARIANCE estimator (the RANSAC inlier
+            # set jitters across seeds: measured 0.54 -> 0.96 on adjacent
+            # near-identical frames), and the windowed init evaluates many
+            # attempts per window — maximizing over that noise accepts
+            # lucky borderline pairs (measured: a pair scoring 0.94 once
+            # re-scores ~0.3, and seeding from it costs 2x the final ATE).
+            # One independent re-estimate with a fresh seed must agree
+            # before the pair may build the map.
+            h2 = self._dispatch_init(frame_idx, feats)
+            h2["reverified"] = True
+            if not self._consume_init(h2):
+                self.stats["init_reverify_rejects"] = (
+                    self.stats.get("init_reverify_rejects", 0) + 1
+                )
+                return False
+            return True
         # Accepted (rare): the blob already carries everything except the
         # anchor frame's features — ONE grouped flush for those.
         uv0_np, d0_np, v0_np = _fetch_now(f0.uv, f0.desc, f0.valid)
@@ -987,6 +1004,7 @@ class Slam:
         ) and n_tracked < float(
             np.float32(cfg.keyframe.tracked_ratio) * np.float32(max(n_local, 1))
         )
+        want = want and self._frames_since_kf >= cfg.keyframe.min_gap
         return want and n_tracked >= cfg.tracking.min_tracked_points
 
     def _retrack_candidate(self, feats, R_np, t_np):
@@ -1475,16 +1493,26 @@ class Slam:
         ]
         fresh = ~np.isin(pt_ids, seen)
         sel, pt_ids = sel[fresh], pt_ids[fresh]
-        if len(sel):
-            self.map.add_observations(
-                kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
-            )
+        # (The cross-observations are inserted AFTER the warp validation
+        # below — on a rejected closure they would poison every later BA.)
         # SE3 loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113).
         Z_R, Z_t = lc_mod.loop_edge_measurement(
             self.map.kf_R[cand], self.map.kf_t[cand], R_corr, t_corr
         )
         self._loop_edges.append((cand, kf_id, Z_R, Z_t))
-        # Pose-graph correction + landmark re-anchoring.
+        # Pose-graph correction + landmark re-anchoring — VALIDATED: a
+        # false-positive closure that survives the inlier vote (30+ lucky
+        # matches happen on repetitive synthetic texture; measured 2x ATE
+        # when one fired on the non-revisiting 200-frame prefix) warps the
+        # whole map, so the correction must not make the map reproject
+        # WORSE. Snapshot the geometry, apply, re-measure; revert and drop
+        # the edge if the blown-observation fraction grows.
+        saved = (
+            self.map.kf_R.copy(), self.map.kf_t.copy(),
+            self.map.pt_xyz.copy(), self.map.kf_scale_meas.copy(),
+        )
+        prob0 = self.map.to_ba_problem(self.cfg.intrinsics)
+        err0_d, w0_d = ba_mod.reproj_errors(prob0)
         g = self._build_pose_graph()
         R_new, t_new, _ = pose_graph_mod().optimize(
             g, n_iters=cfg.pgo_iters, use_dcs=True
@@ -1492,6 +1520,25 @@ class Slam:
         lc_mod.apply_pose_graph_correction(
             self.map, np.asarray(R_new), np.asarray(t_new)
         )
+        prob1 = self.map.to_ba_problem(self.cfg.intrinsics)
+        err1_d, w1_d = ba_mod.reproj_errors(prob1)
+        err0, w0, err1, w1 = _fetch_now(err0_d, w0_d, err1_d, w1_d)
+        thr = 3.0 * ba_mod.HUBER_DELTA
+        n0 = max(float(w0.sum()), 1.0)
+        blown0 = float(((err0 > thr) * w0).sum() / n0)
+        blown1 = float(((err1 > thr) * w1).sum() / max(float(w1.sum()), 1.0))
+        if blown1 > blown0 + 0.02:
+            (self.map.kf_R, self.map.kf_t,
+             self.map.pt_xyz, self.map.kf_scale_meas) = saved
+            self._loop_edges.pop()
+            self.stats["loop_rejected_warp"] = (
+                self.stats.get("loop_rejected_warp", 0) + 1
+            )
+            return
+        if len(sel):
+            self.map.add_observations(
+                kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
+            )
         self._rewrite_keyframe_trajectory()
         # Reset tracking around the corrected pose/map; in-flight pipelined
         # frames referenced the pre-correction world and must not keyframe.
@@ -1824,8 +1871,13 @@ def run_windowed(
                 # them in order and the FIRST pair passing every gate
                 # initializes — ≙ the reference's first-accepting-pair rule
                 # (main.py:136-138) at window granularity.
-                if len(cands) > 16:
-                    cands = cands[np.round(np.linspace(0, len(cands) - 1, 16)).astype(int)]
+                if len(cands) > 6:
+                    # 6 is a measured balance: each attempt costs ~15-20 ms
+                    # of device time (512-hypothesis essential RANSAC), and
+                    # the acceptance-reverification pass (below, in
+                    # _consume_init) guards the quality that a denser
+                    # spread used to buy.
+                    cands = cands[np.round(np.linspace(0, len(cands) - 1, 6)).astype(int)]
                 handles = []
                 for c in cands:
                     idx, gray, depth = win[int(c)]
@@ -1845,40 +1897,81 @@ def run_windowed(
                             on_frame(slam, h["frame_idx"])
                         break
 
-    carry_dev = None  # (R, t) device outputs of the previous window
-    while True:
+    # Speculative double-buffering: window k+1 is DISPATCHED (pose carry
+    # chained on device) before window k's results are walked, so k's
+    # ~50 ms result round trip and the host walk hide under k+1's device
+    # compute. Window k+1 legitimately runs against k's snapshot — that is
+    # the reference's frozen local-map-copy semantics (main.py:154,333) —
+    # and any keyframe candidate inside it re-tracks via the stale-window
+    # path. Only a tracking FAILURE invalidates the speculation: the pose
+    # chain is garbage, so the speculated window's frames are re-queued.
+    carry_dev = None  # (R, t) device outputs of the last dispatched window
+    inflight = None  # (handle, win) dispatched but not yet walked
+
+    def assemble():
         win = []
         while len(win) < window:
             fr = next_frame()
             if fr is None:
                 break
             win.append(fr)
-        if not win:
-            slam._apply_pending_ba(force=True)  # final keyframe's BA
-            return slam
-        # Land pending async work if its results have arrived (they usually
-        # have: a window is one ~50 ms sync behind the dispatch that started
-        # them). Not forced — a still-in-flight mine just marks the window
-        # handle, and any keyframe candidate then re-tracks (rare).
-        slam._apply_pending_mine()
-        slam._apply_pending_ba()
+        return win
+
+    def dispatch(win):
         n_real = len(win)
         grays = [w[1] for w in win] + [win[-1][1]] * (window - n_real)
-        h = slam._dispatch_track_window(np.stack(grays), carry_dev)
-        # ONE array, ONE fetch for the whole window's outputs (~1 MB):
-        # fetching per-row arrays separately costs a full tunnel round
-        # trip EACH on this backend.
+        return slam._dispatch_track_window(np.stack(grays), carry_dev)
+
+    def walk(h, win):
+        # ONE array, ONE fetch for the whole window's outputs (~1 MB);
+        # its async copy has been landing while the next window computed.
         (blobs_np,) = _fetch_now(h["blobs"])
-        carry_dev = h["carry"]
-        replay = _walk_window(
+        return _walk_window(
             slam, win, blobs_np, h["snap"], on_frame,
             mine_pending=h["mine_pending"], snap_epoch=h["snap_epoch"],
         )
-        if replay:
-            # Only a tracking failure replays (the pose chain through the
-            # remaining rows is garbage); the host reseeded the pose.
+
+    while True:
+        win = assemble()
+        if not win:
+            break
+        # Land pending async work if its results have arrived (they usually
+        # have: a window is one ~50 ms sync behind the dispatch that started
+        # them). Not forced — a still-in-flight mine just marks the window
+        # handle, and any keyframe candidate then confirms asynchronously.
+        slam._apply_pending_mine()
+        slam._apply_pending_ba()
+        h = dispatch(win)
+        carry_dev = h["carry"]
+        if inflight is not None:
+            h_prev, win_prev = inflight
+            replay = walk(h_prev, win_prev)
+            if replay:
+                # Tracking failure: the speculated window `win` rode the
+                # garbage pose chain — abandon its results and re-queue
+                # both the post-failure frames and the speculated frames.
+                carry[:0] = replay + win
+                carry_dev = None
+                inflight = None
+                slam.stats["windows_respeculated"] = (
+                    slam.stats.get("windows_respeculated", 0) + 1
+                )
+                continue
+        inflight = (h, win)
+    if inflight is not None:
+        replay = walk(*inflight)
+        while replay:  # drain a trailing failure without speculation
+            slam._apply_pending_mine()
+            slam._apply_pending_ba()
             carry_dev = None
             carry[:0] = replay
+            win = assemble()
+            if not win:
+                break
+            h = dispatch(win)
+            carry_dev = h["carry"]
+            replay = walk(h, win)
+    slam._apply_pending_ba(force=True)  # final keyframe's BA
     return slam
 
 
@@ -1890,29 +1983,25 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
     Shared by run_windowed (single sequence) and multi.run_batched_windowed
     (one walk per sequence slice).
 
-    A keyframe row does NOT invalidate the remaining rows: their PnP poses
-    were solved against the pre-keyframe snapshot — exactly the last
-    keyframe's frozen local-map copy the reference tracks against
-    (main.py:154,333) — so they stand as trajectory entries, and only a
-    LATER keyframe candidate inside the same window must re-track against
-    the refreshed snapshot (its match indices describe the superseded
-    landmark set, and the 0.9 rule needs the post-mine n_local). Only a
-    tracking FAILURE breaks the pose chain; the frames after it are
-    returned for replay."""
+    The window's dispatch snapshot is AUTHORITATIVE for every row: the rule
+    compares the row's inlier count against that same snapshot's landmark
+    count (self-consistent, exactly the reference's frozen local-map-copy
+    semantics, main.py:154,333 — at window granularity instead of keyframe
+    granularity), and a keyframe row inserts directly with the snapshot's
+    landmark ids (global ids, valid regardless of later snapshot rebuilds).
+    A keyframe therefore does NOT invalidate the remaining rows; the brief
+    post-insertion transient where the counts describe the superseded map
+    is absorbed by the keyframe min_gap. Only a tracking FAILURE breaks the
+    pose chain; the frames after it are returned for replay.
+    Candidates that fire in a STALE window (a newer keyframe or a pending
+    mine superseded the dispatch snapshot) are confirmed asynchronously:
+    _dispatch_kf_confirm re-tracks them against the current snapshot while
+    the next window computes, and the next walk inserts retroactively —
+    zero extra syncs (a synchronous re-track per candidate measured 40+
+    ~50 ms tunnel syncs per 200 frames)."""
     n_real = len(win)
     M = int(snap["valid"].shape[0])
     K = int(slam.cfg.frontend.max_features)
-    stale = mine_pending or (
-        snap_epoch is not None and snap_epoch != slam._snap_epoch
-    )
-    # One vetoed re-track per window: a veto proves the FRESH snapshot
-    # tracks the scene fine, and every later row of this window carries the
-    # same stale-count symptom (n_in measured against the pre-keyframe
-    # snapshot), so re-checking each of them would pay a ~50 ms tunnel sync
-    # per row for the same answer. The hard cases stay covered: a CONFIRMED
-    # candidate inserts (resetting the cadence), and a true tracking
-    # collapse trips the failure path, not the keyframe rule.
-    suppressed = False
 
     for r in range(n_real):
         idx = win[r][0]
@@ -1932,40 +2021,31 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
             return win[r + 1 : n_real]
         slam._prev_R, slam._prev_t = R_np, t_np
         slam._frames_since_kf += 1
-        is_kf = slam._keyframe_rule(n_in, snap["n_valid"]) and not suppressed
+        is_kf = slam._keyframe_rule(n_in, snap["n_valid"])
         if is_kf:
             inl, idx2, feats = _unpack_blob(row, M, K)
-            if stale:
-                blob2, snap2 = slam._retrack_candidate(feats, R_np, t_np)
-                n2 = int(blob2[12])
-                if slam._keyframe_rule(n2, snap2["n_valid"]):
-                    R_np = blob2[:9].reshape(3, 3).copy()
-                    t_np = blob2[9:12].copy()
-                    slam._prev_R, slam._prev_t = R_np, t_np
-                    n_in = n2
-                    M2 = int(snap2["valid"].shape[0])
-                    inl, idx2, feats = _unpack_blob(blob2, M2, K)
-                    slam._insert_keyframe(
-                        idx, feats, R_np, t_np, inl, idx2, win[r][2],
-                        snap=snap2,
-                    )
-                    slam.stats["kf_retracked"] = (
-                        slam.stats.get("kf_retracked", 0) + 1
-                    )
-                else:
-                    is_kf = False
-                    suppressed = True
-                    slam.stats["kf_vetoed_stale"] = (
-                        slam.stats.get("kf_vetoed_stale", 0) + 1
-                    )
-            else:
-                slam._insert_keyframe(
-                    idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
-                )
-                stale = True  # later candidates re-track vs the new snapshot
+            slam._insert_keyframe(
+                idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
+            )
         slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, is_kf))
         if on_frame is not None:
-            on_frame(slam, idx)
+            if getattr(on_frame, "wants_image", False):
+                # Live camera view + tracked-match overlay (≙ the match
+                # image the reference viewer streams, update_image
+                # viewer.py:30-35 fed from main.py:216): lines run from each
+                # landmark's keyframe pixel to its current-frame pixel.
+                o = _BLOB_HEADER
+                inl_v = row[o : o + M] > 0.5
+                idx2_v = row[o + M : o + 2 * M].astype(np.int32)
+                uv_v = row[o + 2 * M : o + 2 * M + 2 * K].reshape(K, 2)
+                on_frame(
+                    slam, idx,
+                    gray=win[r][1],
+                    uv_prev=snap["uv_np"][inl_v],
+                    uv_cur=uv_v[idx2_v[inl_v]],
+                )
+            else:
+                on_frame(slam, idx)
     return []
 
 

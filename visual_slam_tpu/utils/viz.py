@@ -76,6 +76,11 @@ class LiveView:
       state.json       frame index, keyframe/point counts, current position
       trajectory.png   top-down + side trajectory (with GT when available)
       map.ply          current landmark cloud
+      frame.png        current camera image with tracked-match overlay
+                       (≙ the reference viewer's update_image stream,
+                       src/v2/viewer.py:30-35, fed from main.py:216) —
+                       written when the driver supplies the frame (the
+                       windowed driver does; see pipeline._walk_window)
 
     Files are written to `<name>.tmp` then os.replace()d, so an external
     watcher (image viewer on refresh, `watch cat state.json`, a point-cloud
@@ -100,6 +105,7 @@ class LiveView:
         self.plot = plot
         self.n_updates = 0
         self._last = None
+        self.wants_image = True  # drivers pass gray/uv overlays when set
         os.makedirs(out_dir, exist_ok=True)
 
     def _atomic(self, name: str):
@@ -112,7 +118,14 @@ class LiveView:
             os.path.join(self.out_dir, name),
         )
 
-    def __call__(self, slam, frame_idx: int) -> None:
+    def __call__(
+        self,
+        slam,
+        frame_idx: int,
+        gray: np.ndarray | None = None,
+        uv_prev: np.ndarray | None = None,
+        uv_cur: np.ndarray | None = None,
+    ) -> None:
         import json
         import os
 
@@ -120,6 +133,14 @@ class LiveView:
             return
         self._last = frame_idx
         self.n_updates += 1
+
+        if gray is not None:
+            tmp, path = self._atomic("frame.png")
+            try:
+                self._write_frame_overlay(tmp, gray, uv_prev, uv_cur)
+                os.replace(tmp, path)
+            except Exception:
+                pass  # viewer artifacts must never kill the pipeline
 
         idxs, est = slam.positions()
         state = {
@@ -160,6 +181,41 @@ class LiveView:
                 valid=np.asarray(slam.map.pt_valid).astype(bool),
             )
             os.replace(tmp, path)
+
+
+def _overlay_image(
+    gray: np.ndarray,
+    uv_prev: np.ndarray | None,
+    uv_cur: np.ndarray | None,
+) -> "object":
+    """RGB PIL image: the camera frame with tracked-match lines drawn from
+    each landmark's keyframe pixel (green dot) to its current pixel (red)."""
+    from PIL import Image, ImageDraw
+
+    g = np.asarray(gray)
+    if g.dtype != np.uint8:
+        g = np.clip(g * 255.0, 0, 255).astype(np.uint8)
+    img = Image.fromarray(g).convert("RGB")
+    d = ImageDraw.Draw(img)
+    if uv_cur is not None and len(uv_cur):
+        if uv_prev is not None and len(uv_prev) == len(uv_cur):
+            for (x0, y0), (x1, y1) in zip(uv_prev, uv_cur):
+                d.line([(float(x0), float(y0)), (float(x1), float(y1))],
+                       fill=(60, 220, 60), width=1)
+        for x1, y1 in uv_cur:
+            d.ellipse(
+                [float(x1) - 2, float(y1) - 2, float(x1) + 2, float(y1) + 2],
+                outline=(230, 60, 60),
+            )
+    return img
+
+
+# LiveView helper: bound late so tests can call it standalone.
+def _live_write_frame_overlay(self, path, gray, uv_prev, uv_cur):
+    _overlay_image(gray, uv_prev, uv_cur).save(path, format="PNG")
+
+
+LiveView._write_frame_overlay = _live_write_frame_overlay
 
 
 def draw_matches(
