@@ -91,3 +91,19 @@ def test_match_ratio_test_rejects_ambiguous():
         cross_check=False,
     )
     assert not bool(good[0])  # two perfect candidates -> ambiguous -> rejected
+
+
+def test_extract_batch_rides_pallas_path(rng):
+    """extract_batch must be bit-identical to the per-image Pallas front-end
+    (VERDICT r2 item #5: one production front-end; the batched route rides
+    the same deterministic kernels as single-sequence production)."""
+    imgs = (rng.random((3, 480, 640)) * 255).astype(np.float32) / 255.0
+    batched = frontend.extract_batch(jnp.asarray(imgs), max_features=256)
+    for b in range(3):
+        single = frontend.extract_pallas(jnp.asarray(imgs[b]), max_features=256)
+        np.testing.assert_array_equal(np.asarray(batched.desc[b]),
+                                      np.asarray(single.desc))
+        np.testing.assert_array_equal(np.asarray(batched.uv[b]),
+                                      np.asarray(single.uv))
+        np.testing.assert_array_equal(np.asarray(batched.valid[b]),
+                                      np.asarray(single.valid))

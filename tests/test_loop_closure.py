@@ -192,3 +192,93 @@ class TestSyntheticLoopCorrection:
             + m.kf_t[K // 2]
         )
         np.testing.assert_allclose(Xc_after, Xc_before, atol=1e-4)
+
+
+def _corridor_db(rng, K=30, F=256, share=0.5):
+    """Non-revisiting 'corridor' keyframe descriptors: each keyframe shares
+    ~`share` of its features with its predecessor (persisting landmarks) and
+    the rest are new — realistic covisibility without any true revisit."""
+    n_share = int(F * share)
+    descs = [_rand_desc(rng, F)]
+    for _ in range(1, K):
+        prev = descs[-1]
+        keep = rng.permutation(F)[:n_share]
+        d = _rand_desc(rng, F)
+        d[:n_share] = prev[keep]
+        descs.append(d)
+    return np.stack(descs)
+
+
+def _score_all(db_desc, hamming_thresh):
+    K, F, _ = db_desc.shape
+    valid = jnp.ones((K, F), bool)
+    mask = jnp.ones(K, bool)
+    return [
+        np.asarray(
+            lc.score_keyframes(
+                jnp.asarray(db_desc[k]), jnp.ones(F, bool),
+                jnp.asarray(db_desc), valid, mask,
+                jnp.float32(hamming_thresh),
+            )
+        )
+        for k in range(K)
+    ]
+
+
+class TestGateRobustness:
+    """VERDICT r2 item #10: the production loop gates must produce ZERO
+    false closures on a non-revisiting sequence, detect a genuine revisit,
+    and do both across a band of thresholds (not just the tuned point)."""
+
+    def test_no_false_closures_non_revisiting(self, rng):
+        cfg = lc.LoopClosureConfig()  # production gates
+        db = _corridor_db(rng, K=30)
+        scores = _score_all(db, cfg.hamming_thresh)
+        for k in range(cfg.min_gap, 30):
+            assert lc.find_candidate(scores[k], k, cfg) is None, (
+                f"false loop candidate at keyframe {k}"
+            )
+
+    def test_detects_genuine_revisit(self, rng):
+        cfg = lc.LoopClosureConfig()
+        db = _corridor_db(rng, K=30)
+        # Keyframe 29 revisits keyframe 0's view: same descriptors with a
+        # few bits of observation noise per descriptor.
+        noisy = db[0].copy()
+        flips = rng.integers(0, 2**32, size=noisy.shape, dtype=np.uint32)
+        # ~4 random bit flips per 256-bit descriptor.
+        bitmask = (flips & (flips >> 1) & (flips >> 2) & (flips >> 3)
+                   & (flips >> 4) & (flips >> 5)).astype(np.uint32)
+        db[29] = noisy ^ bitmask
+        scores = _score_all(db, cfg.hamming_thresh)
+        assert lc.find_candidate(scores[29], 29, cfg) == 0
+
+    def test_gate_sensitivity_band(self, rng):
+        """Sweep hamming_thresh x min_score_abs around the production point:
+        every setting in the band must keep FP=0 on the corridor and TP=1 on
+        the revisit (gates justified by data, not one scene — the sweep
+        result is recorded in BASELINE.md)."""
+        base = lc.LoopClosureConfig()
+        db = _corridor_db(rng, K=30)
+        noisy = db[0].copy()
+        flips = rng.integers(0, 2**32, size=noisy.shape, dtype=np.uint32)
+        bitmask = (flips & (flips >> 1) & (flips >> 2) & (flips >> 3)
+                   & (flips >> 4) & (flips >> 5)).astype(np.uint32)
+        db_tp = db.copy()
+        db_tp[29] = noisy ^ bitmask
+        for ham in (40.0, 48.0, 56.0):
+            scores_fp = _score_all(db, ham)
+            scores_tp = _score_all(db_tp, ham)
+            for msa in (40, 60, 80):
+                cfg = lc.LoopClosureConfig(
+                    hamming_thresh=ham, min_score_abs=msa,
+                    min_gap=base.min_gap, min_score_rel=base.min_score_rel,
+                )
+                fps = sum(
+                    lc.find_candidate(scores_fp[k], k, cfg) is not None
+                    for k in range(cfg.min_gap, 30)
+                )
+                assert fps == 0, f"FPs at ham={ham} msa={msa}: {fps}"
+                assert lc.find_candidate(scores_tp[29], 29, cfg) == 0, (
+                    f"missed revisit at ham={ham} msa={msa}"
+                )

@@ -155,12 +155,9 @@ def test_dcs_rejects_bad_loop_edge(rng):
     assert np.abs(np.asarray(t_w) - t_gt).max() > 0.2
 
 
-def test_pose_graph_scales_to_5k(rng):
-    """5000-keyframe chain + loop edges solved in seconds on CPU
-    (VERDICT round-1 item #3 done-criterion)."""
-    import time
-
-    K = 5000
+def make_big_graph(K=5000):
+    """K-keyframe noisy chain + long-range loop edges (shared by the 5k
+    scale test and the edge-sharded identity test)."""
     rs = np.random.default_rng(3)
     R_gt = [np.eye(3, dtype=np.float32)]
     t_gt = [np.zeros(3, np.float32)]
@@ -183,6 +180,15 @@ def test_pose_graph_scales_to_5k(rng):
     lj = li + 1000
     Z_R, Z_t = pose_graph._rel(jnp.asarray(R_gt), jnp.asarray(t_gt), li, lj)
     g = pose_graph.add_edges(g, li, lj, Z_R, Z_t, np.full(len(li), 5.0))
+    return g, R_gt, t_gt
+
+
+def test_pose_graph_scales_to_5k(rng):
+    """5000-keyframe chain + loop edges solved in seconds on CPU
+    (VERDICT round-1 item #3 done-criterion)."""
+    import time
+
+    g, R_gt, t_gt = make_big_graph(5000)
     R_out, t_out, cost = pose_graph.optimize(g, n_iters=8, cg_iters=40)
     np.asarray(t_out)  # materialize (compile + run)
     t0_ = time.perf_counter()
@@ -192,3 +198,47 @@ def test_pose_graph_scales_to_5k(rng):
     assert dt < 5.0, f"5k-keyframe solve took {dt:.1f}s"
     err = np.abs(np.asarray(t_out) - t_gt).max()
     assert err < 0.05, f"max translation error {err:.3f}"
+
+
+def test_sharded_pose_graph_identity_5k():
+    """Edge-sharded pose graph on the 8-virtual-device mesh matches the
+    single-device solver at 5 000 keyframes (SURVEY §2.3 keyframe-
+    partitioned pose graph; VERDICT r2 item #7 done-criterion)."""
+    import jax
+    from visual_slam_tpu.parallel import mesh as mesh_mod, sharded_pg
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    g, R_gt, t_gt = make_big_graph(5000)
+    R_ref, t_ref, c_ref = pose_graph.optimize(g, n_iters=6, cg_iters=32)
+    m = mesh_mod.make_mesh(8, "edges")
+    R_sh, t_sh, c_sh = sharded_pg.optimize_sharded(g, m, n_iters=6, cg_iters=32)
+    # Same psum'd sums, same CG trajectory — only reduction order differs.
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(R_sh), np.asarray(R_ref), atol=2e-4)
+    assert abs(float(c_sh) - float(c_ref)) <= 1e-3 * max(1.0, abs(float(c_ref)))
+
+
+def test_sharded_pose_graph_identity_small(rng):
+    """Sharded solver also matches on a small odd-sized graph (exercises
+    zero-weight edge padding)."""
+    import jax
+    from visual_slam_tpu.parallel import mesh as mesh_mod, sharded_pg
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    K = 10
+    R_gt, t_gt, R0, t0 = make_chain(rng, K)
+    g = pose_graph.from_keyframe_chain(
+        jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.ones(K, bool)
+    )._replace(R=jnp.asarray(R0), t=jnp.asarray(t0))
+    # 9 chain edges: not divisible by 4 — padding must be a no-op numerically.
+    R_ref, t_ref, c_ref = pose_graph.optimize(g, n_iters=10)
+    m = mesh_mod.make_mesh(4, "edges")
+    R_sh, t_sh, c_sh = sharded_pg.optimize_sharded(g, m, n_iters=10)
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(R_sh), np.asarray(R_ref), atol=1e-5)

@@ -155,7 +155,11 @@ def extract_fused(
     return Features(uv=uv, desc=desc, score=score, valid=valid)
 
 
-_extract_batch_v = jax.vmap(extract_fused, in_axes=(0, None, None, None))
+_extract_batch_xla_v = jax.vmap(extract_fused, in_axes=(0, None, None, None))
+
+_extract_batch_pallas_v = jax.vmap(
+    _extract_pallas_fused, in_axes=(0, None, None, None, None)
+)
 
 
 def extract_batch(
@@ -164,9 +168,19 @@ def extract_batch(
     quality_level: float = 0.01,
     nms_radius: int = 3,
 ) -> Features:
-    """Batched front-end over a (B,H,W) stack (vmapped extract_fused) —
-    wrapper so callers can rely on defaults (vmap has no default-args)."""
-    return _extract_batch_v(imgs, max_features, quality_level, nms_radius)
+    """Batched front-end over a (B,H,W) stack.
+
+    Production path is the vmapped Pallas front-end (pallas_call vmaps by
+    prepending a grid dimension), so the batched route — multi.run_batched /
+    config #3 / the multichip dryrun — rides the SAME deterministic kernels
+    as single-sequence production. The XLA conv/gather route (extract_fused)
+    remains only as the interpret-averse fallback via FRONTEND_BACKEND."""
+    if FRONTEND_BACKEND == "pallas":
+        interp = jax.default_backend() != "tpu"
+        return _extract_batch_pallas_v(
+            imgs, max_features, interp, quality_level, nms_radius
+        )
+    return _extract_batch_xla_v(imgs, max_features, quality_level, nms_radius)
 
 
 def extract_rgb(rgb_u8: jnp.ndarray, max_features: int = 1024) -> Features:

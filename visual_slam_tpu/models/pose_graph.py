@@ -151,7 +151,7 @@ def _apply_delta(R, t, delta):
     return dR @ R, jnp.einsum("kij,kj->ki", dR, t) + dt
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_dcs"))
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_dcs", "axis_name"))
 def optimize(
     g: PoseGraph,
     n_iters: int = 12,
@@ -159,12 +159,27 @@ def optimize(
     damping: float = 1e-5,
     dcs_phi: float = 1.0,
     use_dcs: bool = True,
+    axis_name: str | None = None,
 ):
     """Scalable pose-graph Gauss-Newton: analytic Jacobian blocks +
     block-Jacobi-preconditioned CG on the 6K normal system, with a DCS
-    robust kernel on the SE3 edges. Returns (R, t, final cost)."""
+    robust kernel on the SE3 edges. Returns (R, t, final cost).
+
+    With `axis_name` set (inside shard_map / pjit over a Mesh — see
+    parallel/sharded_pg.py), the EDGE tables are shard-local and the poses
+    replicated: every edge-indexed accumulation (the block diagonal D, the
+    gradient, and each CG matvec's off-diagonal term) is computed from the
+    local edges and `jax.lax.psum`-combined over the mesh. Keyframes'
+    normal-equation blocks are thus partitioned by edge ownership — the
+    device-partitioned analog of the reference's g2o EdgeSE3/EdgeSBAScale
+    chains (LocalBA.py:97-131). Comm per GN step: one (K,6,6)+(K,6) psum;
+    per CG iteration: one (K,6) psum — K·24 bytes·cg_iters per step rides
+    ICI."""
     K = g.R.shape[0]
     free = (~g.fixed).astype(g.R.dtype)
+
+    def _allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def step(carry, _):
         R, t = carry
@@ -183,18 +198,19 @@ def optimize(
         wSi = Si * g.s_w[:, None]
         wSj = Sj * g.s_w[:, None]
 
-        # Block-diagonal accumulation (scatter-add; E-sized, runs where the
-        # pose graph runs — host CPU for big graphs, TPU for small ones).
+        # Block-diagonal accumulation (scatter-add over the LOCAL edge
+        # shard; E-sized, runs where the pose graph runs — host CPU for big
+        # graphs, TPU for small ones), psum'd over the mesh when sharded.
         D = jnp.zeros((K, 6, 6), R.dtype)
         D = D.at[g.e_i].add(H_ii).at[g.e_j].add(H_jj)
         D = D.at[g.s_i].add(jnp.einsum("ei,ej->eij", wSi, Si))
         D = D.at[g.s_j].add(jnp.einsum("ei,ej->eij", wSj, Sj))
-        D = D + damping * jnp.eye(6, dtype=R.dtype)[None]
+        D = _allsum(D) + damping * jnp.eye(6, dtype=R.dtype)[None]
         grad = jnp.zeros((K, 6), R.dtype)
         grad = grad.at[g.e_i].add(g_i).at[g.e_j].add(g_j)
         grad = grad.at[g.s_i].add(wSi * rs[:, None])
         grad = grad.at[g.s_j].add(wSj * rs[:, None])
-        grad = grad * free[:, None]
+        grad = _allsum(grad) * free[:, None]
 
         Hs_ij = jnp.einsum("ei,ej->eij", wSi, Sj)  # scale cross blocks
 
@@ -204,13 +220,15 @@ def optimize(
 
         def matvec(x):
             x = x * free[:, None]
-            y = jnp.einsum("kij,kj->ki", D, x)
             xi = x[g.e_i]
             xj = x[g.e_j]
-            y = y.at[g.e_i].add(jnp.einsum("eij,ej->ei", H_ij, xj))
-            y = y.at[g.e_j].add(jnp.einsum("eji,ej->ei", H_ij, xi))
-            y = y.at[g.s_i].add(jnp.einsum("eij,ej->ei", Hs_ij, x[g.s_j]))
-            y = y.at[g.s_j].add(jnp.einsum("eji,ej->ei", Hs_ij, x[g.s_i]))
+            off = jnp.zeros_like(x)
+            off = off.at[g.e_i].add(jnp.einsum("eij,ej->ei", H_ij, xj))
+            off = off.at[g.e_j].add(jnp.einsum("eji,ej->ei", H_ij, xi))
+            off = off.at[g.s_i].add(jnp.einsum("eij,ej->ei", Hs_ij, x[g.s_j]))
+            off = off.at[g.s_j].add(jnp.einsum("eji,ej->ei", Hs_ij, x[g.s_i]))
+            # D is already mesh-summed; only the off-diagonal term is local.
+            y = jnp.einsum("kij,kj->ki", D, x) + _allsum(off)
             return y * free[:, None]
 
         def precond(x):
@@ -240,7 +258,9 @@ def optimize(
         )
         delta = delta * free[:, None]
         R_new, t_new = _apply_delta(R, t, delta)
-        cost = jnp.sum(w_e * jnp.sum(r * r, -1)) + jnp.sum(g.s_w * rs * rs)
+        cost = _allsum(
+            jnp.sum(w_e * jnp.sum(r * r, -1)) + jnp.sum(g.s_w * rs * rs)
+        )
         return (R_new, t_new), cost
 
     (R_out, t_out), costs = jax.lax.scan(step, (g.R, g.t), None, length=n_iters)
