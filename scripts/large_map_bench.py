@@ -50,96 +50,8 @@ import jax.numpy as jnp
 from visual_slam_tpu.models import ba, ba_large
 from visual_slam_tpu.ops import lie
 from visual_slam_tpu.parallel import sharded_ba
+from visual_slam_tpu.utils.synthetic import build_loop_map
 from jax.sharding import Mesh
-
-
-def build_problem(K, P, Q, seed=0):
-    """Synthetic config-#5 map, constructed directly in packed planar form
-    (point p's Q observations are consecutive cameras on a loop trajectory).
-    """
-    rng = np.random.RandomState(seed)
-    N = P * Q
-    # Loop trajectory: cameras on a circle, yawing along it.
-    ang = 2 * np.pi * np.arange(K) / K
-    radius = 8.0
-    t_gt = np.stack(
-        [radius * np.cos(ang), radius * np.sin(ang), 0.05 * np.sin(5 * ang)],
-        -1,
-    ).astype(np.float32)
-    # Camera-to-world axes (columns): forward z_cam = (cos,sin,0) tangent to
-    # the circle, y_cam = world +z, x_cam = y x z (right-handed).
-    yaw = ang + np.pi / 2
-    cy, sy = np.cos(yaw), np.sin(yaw)
-    zero = np.zeros_like(cy)
-    one = np.ones_like(cy)
-    x_cam = np.stack([-sy, cy, zero], -1)
-    y_cam = np.stack([zero, zero, one], -1)
-    z_cam = np.stack([cy, sy, zero], -1)
-    R_gt = np.stack([x_cam, y_cam, z_cam], axis=-1).astype(np.float32)
-    # World->camera: R_cw = R_gt^T, t_cw = -R_cw @ C.
-    R_cw = np.transpose(R_gt, (0, 2, 1)).copy()
-    t_cw = -np.einsum("kij,kj->ki", R_cw, t_gt).astype(np.float32)
-    # Each point is anchored near a camera's viewing frustum and observed by
-    # Q cameras strided along the loop — the stride provides triangulation
-    # parallax (consecutive cameras are near-identical viewpoints, which
-    # leaves landmark depth unconstrained and the Schur system singular).
-    stride = max(1, K // 128)
-    base = rng.randint(0, K - Q * stride, P).astype(np.int32)
-    C = t_gt[base]
-    fwd = np.stack([np.cos(yaw[base]), np.sin(yaw[base]), 0 * yaw[base]], -1)
-    X_gt = (
-        C
-        + fwd * rng.uniform(4.0, 9.0, (P, 1))
-        + rng.normal(0, 0.8, (P, 3))
-    ).astype(np.float32)
-    cam = (
-        base[:, None] + stride * np.arange(Q)[None, :]
-    ).reshape(-1).astype(np.int32)
-    intr = np.array([481.2, 480.0, 319.5, 239.5], np.float32)
-    Rn = R_cw[cam]
-    Xn = np.repeat(X_gt, Q, axis=0)
-    Xc = np.einsum("nij,nj->ni", Rn, Xn) + t_cw[cam]
-    z = Xc[:, 2]
-    uv = np.stack(
-        [
-            intr[0] * Xc[:, 0] / np.maximum(z, 1e-3) + intr[2],
-            intr[1] * Xc[:, 1] / np.maximum(z, 1e-3) + intr[3],
-        ],
-        -1,
-    ).astype(np.float32)
-    uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
-    w = (z > 0.2).astype(np.float32)  # behind-camera slots are dead weight
-    # Perturb initial estimates.
-    t0 = t_cw + rng.normal(0, 0.02, t_cw.shape).astype(np.float32)
-    dw = rng.normal(0, 0.004, (K, 3)).astype(np.float32)
-    dR = np.asarray(jax.vmap(lie.so3_exp)(jnp.asarray(dw)))
-    R0 = np.einsum("kij,kjl->kil", dR, R_cw).astype(np.float32)
-    t0 = np.einsum("kij,kj->ki", dR, t_cw).astype(np.float32) + rng.normal(
-        0, 0.02, (K, 3)
-    ).astype(np.float32)
-    R0[0], t0[0] = R_cw[0], t_cw[0]
-    X0 = X_gt + rng.normal(0, 0.05, X_gt.shape).astype(np.float32)
-    cam_fixed = np.zeros(K, bool)
-    cam_fixed[0] = True
-    se = np.zeros(1, np.float32)
-    prob = ba.BAProblem(
-        R=jnp.asarray(R0),
-        t=jnp.asarray(t0),
-        X=jnp.asarray(X0),
-        pt_valid=jnp.ones(P, jnp.float32),
-        cam=jnp.asarray(cam),
-        uv=jnp.asarray(uv.T),
-        w=jnp.asarray(w),
-        intr=jnp.asarray(intr),
-        cam_fixed=jnp.asarray(cam_fixed),
-        se_i=jnp.zeros(1, jnp.int32),
-        se_j=jnp.zeros(1, jnp.int32),
-        se_meas=jnp.asarray(se),
-        se_w=jnp.asarray(se),
-        dinv=jnp.zeros(len(cam), jnp.float32),
-        dw=jnp.zeros(len(cam), jnp.float32),
-    )
-    return prob, (R_cw, t_cw, X_gt)
 
 
 def run(prob, mesh_n, gt):
@@ -182,7 +94,7 @@ def main():
         f"{P*Q} observations",
         file=sys.stderr,
     )
-    prob, gt = build_problem(K, P, Q)
+    prob, gt = build_loop_map(K, P, Q)
     sizes = [1, 2, 4, 8] if args.sweep else [args.devices]
     sizes = [s for s in sizes if s <= len(jax.devices())]
     results = [run(prob, s, gt) for s in sizes]

@@ -49,7 +49,7 @@ def main():
     for m in (
         "_dispatch_init", "_consume_init", "_dispatch_track", "_consume_track",
         "_insert_keyframe", "_mine_new_points", "_dispatch_ba",
-        "_apply_pending_ba", "_dispatch_loop_scores", "_maybe_close_loop",
+        "_apply_pending_ba", "_dispatch_loop_scores", "_dispatch_loop_verify",
         "_finish_keyframe", "_relocalize",
     ):
         wrap(pl.Slam, m)

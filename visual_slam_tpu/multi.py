@@ -285,6 +285,7 @@ def run_batched_windowed(
                 continue
             carrys[b][:0] = _walk_window(slam, win, fetched[b], snaps[b])
     for slam in slams:
+        slam._apply_pending_mine(force=True, dispatch_ba=True)
         slam._apply_pending_ba(force=True)  # final keyframes' BAs
         slam.stats["frontend_devices"] = n_devices_used
     return slams

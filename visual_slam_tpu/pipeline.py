@@ -631,6 +631,8 @@ class Slam:
         self._loop_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._last_loop_kf = -(10**9)
         self._pending_loop = None  # deferred place-recognition consume
+        self._ba_followup = None  # keyframe needing a BA once the slot frees
+        self._pending_loop_verify = None  # in-flight closure verification
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
 
@@ -1081,8 +1083,16 @@ class Slam:
         cfg = self.cfg
         with self.timers.time("kf_ba_wait"):
             # Applies a still-pending mine first (which dispatches its BA),
-            # then force-applies the pending BA.
-            self._apply_pending_ba(force=True)
+            # then force-applies the pending BA. The force is LOAD-BEARING:
+            # this keyframe's pose was estimated against the pre-BA map, and
+            # a BA applied after insertion moves the old keyframes/points to
+            # the optimized frame while the new keyframe stays behind —
+            # measured on-TPU: the inconsistent reprojections get pruned,
+            # the local map around new keyframes starves (n_valid 200 -> 10
+            # by frame 180), and tracking collapses (11 failures, ATE
+            # 0.016 -> 0.085). ≙ the reference's synchronous local BA before
+            # the next keyframe (main.py:322-323).
+            self._apply_pending_ba(force=True, force_loop=False)
         if snap is None:
             snap = self._snapshot
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
@@ -1135,12 +1145,20 @@ class Slam:
                 kf_id=kf_id, feats=feats, scores=loop_scores, age=0
             )
         # Full bundle adjustment over the map (≙ main.py:322-323),
-        # dispatched async; applied after a couple of tracked frames. When a
-        # mine is in flight, the BA dispatch rides with its apply instead
-        # (the BA problem should include the newly mined landmarks).
+        # dispatched async NOW — a full keyframe interval before the next
+        # forced apply, so the force usually finds it long finished (~25 ms
+        # fetch instead of ~100-150 ms of queue drain when the dispatch rode
+        # the mine apply 1-2 windows later). This BA covers everything up to
+        # and including this keyframe's tracked observations; the points
+        # this keyframe MINES join the next keyframe's BA.
         with self.timers.time("kf_dispatch_ba"):
-            if self._pending_mine is None:
+            if self._pending_ba is None:
                 self._dispatch_ba(kf_id, scale_gauge=False)
+            else:
+                # BA slot occupied (previous keyframe's solve still in
+                # flight): run a fresh BA over the map including this
+                # keyframe as soon as the slot frees.
+                self._ba_followup = kf_id
 
     def _dispatch_mine(self, kf_id, feats, mapped_cur):
         """Dispatch landmark mining between the previous and new keyframe
@@ -1185,7 +1203,7 @@ class Slam:
             age=0,
         )
 
-    def _apply_pending_mine(self, force: bool = False, dispatch_ba: bool = True) -> None:
+    def _apply_pending_mine(self, force: bool = False, dispatch_ba: bool = False) -> None:
         """Insert the landmarks of a dispatched mine once its result has
         landed (or immediately when force=True), then dispatch the
         keyframe's full BA. Mirrors _apply_pending_ba."""
@@ -1237,7 +1255,16 @@ class Slam:
             if self._last_kf_id == kf_id:
                 self._snapshot = self.map.local_snapshot(kf_id)
         if dispatch_ba:
-            self._dispatch_ba(kf_id, scale_gauge=False)
+            # Legacy ride-along (kept for callers that need BA right after
+            # the mine); production dispatches the keyframe BA at INSERTION
+            # instead — see _insert_keyframe — so it has a full keyframe
+            # interval to finish before the next forced apply. The mined
+            # points join the NEXT keyframe's BA (one-interval polish
+            # deferral; ≙ mining precedes local BA, main.py:237-322).
+            if self._pending_ba is None:
+                self._dispatch_ba(kf_id, scale_gauge=False)
+            else:
+                self._ba_followup = kf_id
 
     def _mine_depth_points(self, kf_id, feats, mapped_cur, depth):
         """Create metric landmarks for unmapped features from the depth map."""
@@ -1282,13 +1309,48 @@ class Slam:
         _fetch_async(out.R, out.t, out.X, diag, bad)
         self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0, self.map.ba_meta)
 
-    def _apply_pending_ba(self, force: bool = False) -> None:
+    def _apply_pending_ba(self, force: bool = False,
+                          force_loop: bool | None = None) -> None:
         # A pending mine precedes its keyframe's BA: tick it first so its
         # apply (which dispatches that BA) happens as soon as the result
         # lands. Every driver already calls _apply_pending_ba per frame, so
         # no driver changes are needed for the mine to drain.
-        self._apply_pending_mine(force=force)
-        self._apply_pending_loop(force=force)
+        # dispatch_ba=True: the mined points get their polish BA as soon as
+        # the slot frees (usually mid-interval, via _ba_followup — the
+        # insertion-time BA occupies the slot). Without it the points wait a
+        # whole keyframe interval (measured ATE 0.0161 -> 0.0198).
+        # force_loop: keyframe insertion forces the mine+BA (their results
+        # gate the new keyframe's geometry) but SKIPS the loop scoring/
+        # verify consumes (False): spinning on a just-dispatched
+        # verification measured ~100 ms of queue drain per scored keyframe,
+        # and a closure applied mid-insertion would rewrite the map under
+        # the pose being inserted. Closures land at the between-window
+        # ticks. End-of-run drains force everything.
+        if force_loop is None:
+            force_loop = force
+        self._apply_pending_mine(force=force, dispatch_ba=True)
+        if force_loop or not force:
+            # force_loop=False + force=True (insertion) skips; otherwise
+            # tick (non-forced) or force (end-of-run drain).
+            self._apply_pending_loop(force=force_loop)
+            self._apply_pending_loop_verify(force=force_loop)
+        self._consume_pending_ba(force=force)
+        # Follow-up BA (a keyframe arrived while the slot was occupied):
+        # dispatch over the map as it stands now — it includes that
+        # keyframe's observations and everything since. Forced drains (end
+        # of run) apply it immediately so the final keyframes are optimized.
+        if (
+            self._ba_followup is not None
+            and self._pending_ba is None
+            and self._pending_mine is None
+        ):
+            kf = self._ba_followup
+            self._ba_followup = None
+            self._dispatch_ba(kf, scale_gauge=False)
+            if force:
+                self._consume_pending_ba(force=True)
+
+    def _consume_pending_ba(self, force: bool = False) -> None:
         if self._pending_ba is None:
             return
         out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
@@ -1429,18 +1491,23 @@ class Slam:
             _spin_ready([h["scores"]])
         self._pending_loop = None
         with self.timers.time("kf_loop"):
-            self._maybe_close_loop(h["kf_id"], h["feats"], h["scores"])
+            self._dispatch_loop_verify(h["kf_id"], h["feats"], h["scores"])
 
-    def _maybe_close_loop(self, kf_id: int, feats, scores_dev) -> None:
-        """Consume the scoring pass; verify and close a detected loop."""
+    def _dispatch_loop_verify(self, kf_id: int, feats, scores_dev) -> None:
+        """Consume the scoring pass; DISPATCH geometric verification of a
+        detected candidate (PnP of the current keyframe's features against
+        the candidate keyframe's landmark snapshot, seeded at the
+        candidate's pose — the production tracking step, same jit). The
+        result is consumed asynchronously (_apply_pending_loop_verify): a
+        synchronous fetch here measured ~50 ms of tunnel latency per scored
+        candidate on the tracking critical path."""
+        if self._pending_loop_verify is not None:
+            return  # one verification in flight at a time (cooldown-rare)
         cfg = self.cfg.loop
         scores = np.asarray(scores_dev)
         cand = lc_mod.find_candidate(scores, kf_id, cfg)
         if cand is None:
             return
-        # Geometric verification: PnP of the current keyframe's features
-        # against the candidate keyframe's landmark snapshot, seeded at the
-        # candidate's pose (the production tracking step — same jit).
         tcfg = self.cfg.tracking
         fq = self.cfg.frontend
         snap = self.map.local_snapshot(cand)
@@ -1453,12 +1520,41 @@ class Slam:
             n_hyps=tcfg.pnp_hypotheses, refine_iters=tcfg.refine_iters,
             cross_check=fq.cross_check,
         )
-        (blob_np,) = _fetch_now(blob)
+        _fetch_async(blob)
+        self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
+        self._pending_loop_verify = dict(
+            kf_id=kf_id, cand=cand, feats=feats, blob=blob, snap=snap, age=0
+        )
+
+    def _apply_pending_loop_verify(self, force: bool = False) -> None:
+        """Consume a dispatched loop verification; on success run the
+        (rare, inherently synchronous) closure: pose-graph correction +
+        warp validation + fresh BA."""
+        h = self._pending_loop_verify
+        if h is None:
+            return
+        if not force:
+            try:
+                ready = h["blob"].is_ready()
+            except AttributeError:
+                ready = h["age"] >= 2
+            if not ready:
+                h["age"] += 1
+                return
+        else:
+            _spin_ready([h["blob"]])
+        self._pending_loop_verify = None
+        with self.timers.time("kf_loop"):
+            self._close_loop(h)
+
+    def _close_loop(self, h: dict) -> None:
+        cfg = self.cfg.loop
+        kf_id, cand, feats, snap = h["kf_id"], h["cand"], h["feats"], h["snap"]
+        (blob_np,) = _fetch_now(h["blob"])
         M = int(snap["valid"].shape[0])
         Kf = int(np.asarray(feats.uv).shape[0])
         inl_host, idx2_host, _ = _unpack_blob(blob_np, M, Kf)
         n_inl = int(blob_np[12])
-        self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
         if n_inl < cfg.verify_min_inliers:
             return
         # A verified closure rewrites poses and re-anchors landmarks below;
@@ -1476,6 +1572,9 @@ class Slam:
             self.stats["ba_discarded_loop"] = (
                 self.stats.get("ba_discarded_loop", 0) + 1
             )
+        # Any queued follow-up BA is likewise superseded by the fresh
+        # post-correction BA dispatched at the end of this method.
+        self._ba_followup = None
         R_corr = blob_np[:9].reshape(3, 3).astype(np.float32)
         t_corr = blob_np[9:12].astype(np.float32)
         # Cross-observations: the verified matches are sightings of the OLD
@@ -1542,10 +1641,14 @@ class Slam:
         self._rewrite_keyframe_trajectory()
         # Reset tracking around the corrected pose/map; in-flight pipelined
         # frames referenced the pre-correction world and must not keyframe.
-        self._snapshot = self.map.local_snapshot(kf_id)
+        # Anchor on the LATEST keyframe: the async verify consume can land
+        # after a newer keyframe was inserted, and rewinding the tracker to
+        # the older closure keyframe would corrupt the pose chain.
+        anchor = self._last_kf_id if self._last_kf_id is not None else kf_id
+        self._snapshot = self.map.local_snapshot(anchor)
         self._snap_epoch += 1
-        self._prev_R = self.map.kf_R[kf_id].copy()
-        self._prev_t = self.map.kf_t[kf_id].copy()
+        self._prev_R = self.map.kf_R[anchor].copy()
+        self._prev_t = self.map.kf_t[anchor].copy()
         self._pose_dev = None
         self._last_loop_kf = kf_id
         self.stats["loop_closures"] = self.stats.get("loop_closures", 0) + 1
@@ -1595,7 +1698,11 @@ class Slam:
         EdgeSE3/EdgeSBAScale chain the reference builds in LocalBA.py:97-131).
         Updates keyframe poses (landmarks re-anchored) and rewrites the
         trajectory entries of keyframe frames."""
-        self._apply_pending_ba(force=True)  # land deferred mine/loop/BA first
+        # Land the deferred mine first WITH its BA (the final keyframe's
+        # mined points would otherwise never be optimized), then everything
+        # else still in flight.
+        self._apply_pending_mine(force=True, dispatch_ba=True)
+        self._apply_pending_ba(force=True)
         g = self._build_pose_graph()
         R, t, cost = pose_graph_mod().optimize(
             g, n_iters=n_iters, use_dcs=bool(self._loop_edges)
@@ -1757,6 +1864,7 @@ def run_pipelined(
     # Apply the BA dispatched at the final keyframe — nothing after the
     # stream end would otherwise force it, discarding the last keyframe's
     # optimization and observation pruning.
+    slam._apply_pending_mine(force=True, dispatch_ba=True)
     slam._apply_pending_ba(force=True)
     return slam
 
@@ -1971,6 +2079,7 @@ def run_windowed(
             h = dispatch(win)
             carry_dev = h["carry"]
             replay = walk(h, win)
+    slam._apply_pending_mine(force=True, dispatch_ba=True)
     slam._apply_pending_ba(force=True)  # final keyframe's BA
     return slam
 
