@@ -25,9 +25,13 @@ CPU_BASELINE_FPS = 27.25  # scripts/cpu_baseline.py measured on this host
 DATA = "/root/reference/data/ICL_NUIM"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
 PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "6"))
-# "windowed" (default; W-frame device-side tracking scans, one sync per
-# window) or "pipelined" (per-frame dispatches, depth-6 in-flight).
-MODE = os.environ.get("BENCH_MODE", "windowed")
+# "pipelined" (default; per-frame dispatches, depth-6 in-flight — the
+# production driver: fastest end-to-end AND correct on the full sequence)
+# or "windowed" (W-frame device-side tracking scans, one sync per window —
+# the device-rate exhibit). Round-4 driver decision, by data: pipelined won
+# end-to-end (r02 43.4 vs r03 windowed 38.6 fps) and held the full mono
+# sequence (ATE 0.029, 0 failures vs windowed's r3 collapse at 0.245/251).
+MODE = os.environ.get("BENCH_MODE", "pipelined")
 WINDOW = int(os.environ.get("BENCH_WINDOW", "16"))
 # Full-sequence second metric (1,000 frames, loop closure + final pose
 # graph): monocular Sim3 ATE + RGB-D metric SE3 ATE. BENCH_FULLSEQ=0 skips.
@@ -289,7 +293,9 @@ def main():
             fcfg.use_depth = rgbd
             t0 = time.perf_counter()
             s = run_sequence(
-                ds, fcfg, 0, FULLSEQ_FRAMES, windowed=True, window=WINDOW
+                ds, fcfg, 0, FULLSEQ_FRAMES,
+                windowed=(MODE == "windowed"), window=WINDOW,
+                pipelined=(MODE != "windowed"), pipeline_depth=PIPE_DEPTH,
             )
             s.optimize_pose_graph()
             dt = time.perf_counter() - t0

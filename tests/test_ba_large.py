@@ -50,22 +50,9 @@ def test_large_solver_converges_medium_scale(rng):
     """256 keyframes x 16k landmarks (64k observations): cost must drop to
     the noise floor and poses must tighten — exercises the segment-sum
     camera reductions at a size where cameras have ~256 observations each."""
-    import importlib.util
-    import os
+    from visual_slam_tpu.utils.synthetic import build_loop_map
 
-    # Reuse the bench's synthetic generator (loop trajectory, strided
-    # covisibility) without running its argparse/main.
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "scripts",
-        "large_map_bench.py",
-    )
-    src = open(path).read().replace(
-        "args = p.parse_args()", "args = p.parse_args([])"
-    )
-    ns = {"__name__": "lmb_test", "__file__": path}
-    exec(compile(src, path, "exec"), ns)
-    prob, (R_gt, t_gt, X_gt) = ns["build_problem"](256, 16384, 4)
+    prob, (R_gt, t_gt, X_gt) = build_loop_map(256, 16384, 4)
     cost0 = float(ba_large._cost(prob))
     out, cost = ba_large.optimize(
         prob, n_iters=6, cg_iters=8, init_lambda=1e-2

@@ -52,14 +52,14 @@ class KeyframeConfig:
     max_interval: int = 20  # main.py:221
     min_tracked: int = 80  # main.py:221
     tracked_ratio: float = 0.9  # main.py:221
-    # Minimum frames between keyframes (new; the reference has no floor).
-    # The windowed driver evaluates the rule against each window's frozen
-    # dispatch snapshot (one-to-two windows of lag under speculation), so
-    # right after an insertion the rule's counts briefly describe the
-    # superseded map and can fire spuriously; this floor absorbs that
-    # transient instead of paying a ~50 ms re-track sync per candidate.
-    # Half the tracking window; well under max_interval.
-    min_gap: int = 10
+    # Minimum frames between keyframes. 0 = reference parity (main.py:221
+    # has no floor). Round-3 set 10 to absorb the windowed driver's
+    # stale-window transients, which backfired: the floor BECAME the
+    # keyframe cadence on the full sequence (keyframes every exactly 10
+    # frames, each against a starved snapshot, until tracking collapsed at
+    # frame ~358 — VERDICT r3). Stale candidates are now re-tracked against
+    # the current snapshot in BOTH drivers instead, so the floor is gone.
+    min_gap: int = 0
     cull_min_views: int = 3  # main.py:235
     cull_every: int = 4  # main.py:234
     cull_after: int = 6  # main.py:234

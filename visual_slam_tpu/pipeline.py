@@ -1081,18 +1081,27 @@ class Slam:
         per-frame blob carries them — see _pack_blob; a cold device fetch
         here used to cost 130+ ms per keyframe)."""
         cfg = self.cfg
+        with self.timers.time("kf_mine_wait"):
+            # Land the previous keyframe's mine first: its landmarks must
+            # exist before this keyframe's snapshot/mine bookkeeping
+            # (dispatch_ba=False — the BA dispatched at the END of this
+            # insertion covers the mined points plus this keyframe).
+            self._apply_pending_mine(force=True, dispatch_ba=False)
         with self.timers.time("kf_ba_wait"):
-            # Applies a still-pending mine first (which dispatches its BA),
-            # then force-applies the pending BA. The force is LOAD-BEARING:
-            # this keyframe's pose was estimated against the pre-BA map, and
-            # a BA applied after insertion moves the old keyframes/points to
-            # the optimized frame while the new keyframe stays behind —
-            # measured on-TPU: the inconsistent reprojections get pruned,
-            # the local map around new keyframes starves (n_valid 200 -> 10
-            # by frame 180), and tracking collapses (11 failures, ATE
-            # 0.016 -> 0.085). ≙ the reference's synchronous local BA before
-            # the next keyframe (main.py:322-323).
-            self._apply_pending_ba(force=True, force_loop=False)
+            # A BA dispatched BEFORE this keyframe may not be applied AFTER
+            # it: update_from_ba writes back the problem's full pose array,
+            # which would overwrite this keyframe's slot with its dispatch-
+            # time identity (and the inconsistent reprojections then get
+            # pruned until the local map starves — measured on-TPU in r2:
+            # n_valid 200 -> 10 by frame 180, ATE 0.016 -> 0.085). So the
+            # pending BA is applied NOW if its result has landed — or
+            # DROPPED if it hasn't: the fresh BA dispatched at the end of
+            # this insertion covers a strict superset of its problem, and
+            # spinning on an unfinished solve measured 70 ms per keyframe
+            # in r3's windowed bench (BENCH_r03 stage_ms.kf_ba_wait).
+            # ≙ the reference's synchronous local BA before the next
+            # keyframe (main.py:322-323), minus the synchronous wait.
+            self._drop_or_apply_pending_ba()
         if snap is None:
             snap = self._snapshot
         kf_id = self.map.add_keyframe(R_np, t_np, frame_idx)
@@ -1350,6 +1359,32 @@ class Slam:
             if force:
                 self._consume_pending_ba(force=True)
 
+    def _drop_or_apply_pending_ba(self, spin_ms: float = 8.0) -> None:
+        """Keyframe-insertion BA policy: apply the pending BA if its result
+        has landed (cheap ~25 ms fetch), else DISCARD it.
+
+        Discarding is safe because the caller (_insert_keyframe) dispatches
+        a fresh BA over the current map at the end of the insertion, whose
+        problem is a strict superset of the dropped one's; the only loss is
+        the dropped solve's device cycles and its deferred observation
+        pruning, which the fresh solve redoes. A short spin (`spin_ms`)
+        catches almost-landed results so they are not wasted."""
+        if self._pending_ba is None:
+            return
+        diag = self._pending_ba[1]
+        try:
+            _spin_ready([diag], timeout_s=spin_ms / 1e3)
+            ready = diag.is_ready()
+        except AttributeError:
+            ready = True
+        if ready:
+            self._consume_pending_ba(force=True)
+        else:
+            self._pending_ba = None
+            self.stats["ba_dropped_stale"] = (
+                self.stats.get("ba_dropped_stale", 0) + 1
+            )
+
     def _consume_pending_ba(self, force: bool = False) -> None:
         if self._pending_ba is None:
             return
@@ -1511,6 +1546,9 @@ class Slam:
         tcfg = self.cfg.tracking
         fq = self.cfg.frontend
         snap = self.map.local_snapshot(cand)
+        # Diagnostics: an empty candidate snapshot (culled/pruned points)
+        # makes verification structurally impossible — record it.
+        self.stats["loop_cand_nvalid_last"] = snap["n_valid"]
         blob, _, _ = _track_step(
             feats.desc, feats.uv, feats.valid,
             snap["desc"], snap["xyz"], snap["valid"],
@@ -1556,6 +1594,13 @@ class Slam:
         inl_host, idx2_host, _ = _unpack_blob(blob_np, M, Kf)
         n_inl = int(blob_np[12])
         if n_inl < cfg.verify_min_inliers:
+            self.stats["loop_verify_fail"] = (
+                self.stats.get("loop_verify_fail", 0) + 1
+            )
+            # Best near-miss inlier count, for gate diagnostics.
+            self.stats["loop_verify_best"] = max(
+                self.stats.get("loop_verify_best", 0), n_inl
+            )
             return
         # A verified closure rewrites poses and re-anchors landmarks below;
         # the in-flight mine (dispatched this keyframe) triangulated against
@@ -2043,11 +2088,17 @@ def run_windowed(
         win = assemble()
         if not win:
             break
-        # Land pending async work if its results have arrived (they usually
-        # have: a window is one ~50 ms sync behind the dispatch that started
-        # them). Not forced — a still-in-flight mine just marks the window
-        # handle, and any keyframe candidate then confirms asynchronously.
-        slam._apply_pending_mine()
+        # A pending mine here means the LAST walk inserted a keyframe: land
+        # it now (forced) so this dispatch's snapshot carries the mined
+        # landmarks. Unforced, the snapshot lagged mining by 2-3 windows
+        # and the keyframe cadence locked to window boundaries against
+        # perpetually starved maps (measured: keyframes at exact multiples
+        # of the window size, adjacent-pair duplicates, fullseq ATE 0.17 vs
+        # the pipelined driver's 0.03). The spin is bounded by the in-
+        # flight window's remaining compute — at keyframe cadence, cheaper
+        # than the staleness. The BA stays unforced: the insertion-time
+        # drop policy (_drop_or_apply_pending_ba) keeps it consistent.
+        slam._apply_pending_mine(force=slam._pending_mine is not None)
         slam._apply_pending_ba()
         h = dispatch(win)
         carry_dev = h["carry"]
@@ -2098,19 +2149,33 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
     semantics, main.py:154,333 — at window granularity instead of keyframe
     granularity), and a keyframe row inserts directly with the snapshot's
     landmark ids (global ids, valid regardless of later snapshot rebuilds).
-    A keyframe therefore does NOT invalidate the remaining rows; the brief
-    post-insertion transient where the counts describe the superseded map
-    is absorbed by the keyframe min_gap. Only a tracking FAILURE breaks the
-    pose chain; the frames after it are returned for replay.
-    Candidates that fire in a STALE window (a newer keyframe or a pending
-    mine superseded the dispatch snapshot) are confirmed asynchronously:
-    _dispatch_kf_confirm re-tracks them against the current snapshot while
-    the next window computes, and the next walk inserts retroactively —
-    zero extra syncs (a synchronous re-track per candidate measured 40+
-    ~50 ms tunnel syncs per 200 frames)."""
+    A keyframe does NOT invalidate the remaining rows for TRACKING (their
+    poses stand); only a tracking FAILURE breaks the pose chain, and the
+    frames after it are returned for replay.
+
+    Candidates that fire in a STALE window — the dispatch snapshot was
+    superseded by a newer keyframe (epoch bump, including insertions made
+    earlier in this same walk) or was missing a pending mine's landmarks —
+    are RE-TRACKED synchronously against the current snapshot
+    (slam._retrack_candidate, the same machinery the pipelined consume
+    uses at pipeline.py `_consume_track`) and the keyframe rule re-applied
+    with the fresh counts. This is what prevents the round-3 collapse:
+    stale windows lag the map by 2-3 windows, their starved counts fire
+    the rule spuriously, and inserting without confirmation floods the map
+    with starved keyframes until tracking dies (BENCH_r03 fullseq: 651
+    failures). One ~30 ms sync per candidate at keyframe cadence is the
+    measured price of a correct cadence; after a VETOED retrack the
+    remaining rows of the walk skip further candidate checks (the fresh
+    map just proved tracking healthy — repeat retracks would re-veto).
+
+    A FAILED row is likewise retried once against the refreshed snapshot
+    before it is declared a failure: with window-lag staleness, "failure"
+    is usually just the starved dispatch snapshot, and the retry converts
+    it into a tracked frame instead of a relocalize + window replay."""
     n_real = len(win)
     M = int(snap["valid"].shape[0])
     K = int(slam.cfg.frontend.max_features)
+    retrack_vetoed = False
 
     for r in range(n_real):
         idx = win[r][0]
@@ -2121,6 +2186,26 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
         fail = row[14] > 0.5
         if fail:
             _, _, feats = _unpack_blob(row, M, K)
+            # Retry against the CURRENT map (pending mine forced in) before
+            # declaring failure: the row's snapshot may simply be stale.
+            blob2, snap2 = slam._retrack_candidate(
+                feats, slam._prev_R, slam._prev_t
+            )
+            n2 = int(blob2[12])
+            if n2 >= slam.cfg.tracking.min_tracked_points:
+                slam.stats["fail_retried_ok"] = (
+                    slam.stats.get("fail_retried_ok", 0) + 1
+                )
+                R_np = blob2[:9].reshape(3, 3).copy()
+                t_np = blob2[9:12].copy()
+                slam._prev_R, slam._prev_t = R_np, t_np
+                slam._frames_since_kf += 1
+                slam.trajectory.append(FrameResult(idx, R_np, t_np, n2, False))
+                if on_frame is not None:
+                    on_frame(slam, idx)
+                # The device pose chain held the last good pose on failure,
+                # which is what the retry recovered: later rows remain valid.
+                continue
             _, R_np, t_np, n_in = slam._handle_track_failure(feats)
             slam._frames_since_kf += 1
             slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
@@ -2131,7 +2216,35 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
         slam._prev_R, slam._prev_t = R_np, t_np
         slam._frames_since_kf += 1
         is_kf = slam._keyframe_rule(n_in, snap["n_valid"])
-        if is_kf:
+        if is_kf and not retrack_vetoed and (
+            mine_pending
+            or (snap_epoch is not None and snap_epoch != slam._snap_epoch)
+        ):
+            _, _, feats = _unpack_blob(row, M, K)
+            blob2, snap2 = slam._retrack_candidate(feats, R_np, t_np)
+            n2 = int(blob2[12])
+            if slam._keyframe_rule(n2, snap2["n_valid"]):
+                R_np = blob2[:9].reshape(3, 3).copy()
+                t_np = blob2[9:12].copy()
+                slam._prev_R, slam._prev_t = R_np, t_np
+                n_in = n2
+                M2 = int(snap2["valid"].shape[0])
+                inl, idx2, feats2 = _unpack_blob(blob2, M2, K)
+                slam._insert_keyframe(
+                    idx, feats2, R_np, t_np, inl, idx2, win[r][2], snap=snap2
+                )
+                slam.stats["kf_retracked"] = (
+                    slam.stats.get("kf_retracked", 0) + 1
+                )
+            else:
+                is_kf = False
+                retrack_vetoed = True
+                slam.stats["kf_vetoed_stale"] = (
+                    slam.stats.get("kf_vetoed_stale", 0) + 1
+                )
+        elif is_kf and retrack_vetoed:
+            is_kf = False
+        elif is_kf:
             inl, idx2, feats = _unpack_blob(row, M, K)
             slam._insert_keyframe(
                 idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
