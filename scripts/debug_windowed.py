@@ -36,6 +36,12 @@ def main():
 
     ds = ICLNUIMDataset("/root/reference/data/ICL_NUIM")
     cfg = size_config_for(n_frames)
+    if os.environ.get("VSLAM_NO_LOOP"):
+        cfg.loop.enabled = False
+    if os.environ.get("VSLAM_XLA_FRONTEND"):
+        from visual_slam_tpu.models import frontend
+
+        frontend.FRONTEND_BACKEND = "xla"
     t0 = time.perf_counter()
     slam = run_sequence(
         ds, cfg, 0, n_frames,

@@ -52,14 +52,17 @@ class KeyframeConfig:
     max_interval: int = 20  # main.py:221
     min_tracked: int = 80  # main.py:221
     tracked_ratio: float = 0.9  # main.py:221
-    # Minimum frames between keyframes. 0 = reference parity (main.py:221
-    # has no floor). Round-3 set 10 to absorb the windowed driver's
-    # stale-window transients, which backfired: the floor BECAME the
-    # keyframe cadence on the full sequence (keyframes every exactly 10
-    # frames, each against a starved snapshot, until tracking collapsed at
-    # frame ~358 — VERDICT r3). Stale candidates are now re-tracked against
-    # the current snapshot in BOTH drivers instead, so the floor is gone.
-    min_gap: int = 0
+    # Minimum frames between keyframes. The reference has no floor
+    # (main.py:221); this framework needs a SMALL one because keyframe
+    # insertion is pipelined: candidates are confirmed by re-tracking
+    # against the current snapshot, and in low-texture segments where
+    # mining starves (lr traj3 frames ~350-400) the rule chatters —
+    # measured full-sequence mono: floor 0 gives 96 keyframes with
+    # 1-frame-apart bursts + 392 re-track syncs + ATE 0.081; floor 10
+    # (round 3) BECAME the cadence (keyframes every exactly 10 frames
+    # until tracking collapsed). 5 suppresses the chatter without ever
+    # being the binding constraint on the healthy cadence (10-21 frames).
+    min_gap: int = 5
     cull_min_views: int = 3  # main.py:235
     cull_every: int = 4  # main.py:234
     cull_after: int = 6  # main.py:234

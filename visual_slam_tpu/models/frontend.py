@@ -35,8 +35,7 @@ class Features(NamedTuple):
 def _extract_stage1(img: jnp.ndarray, max_features: int,
                     quality_level: float = 0.01, nms_radius: int = 3):
     """Detection + blur + orientation (conv/top-k work only)."""
-    if img.ndim == 3:
-        img = to_gray(img)
+    img = to_gray(img)  # also normalizes 2-D uint8 input to float [0,1]
     uv, score, valid = detect.detect_corners(
         img, max_corners=max_features, quality_level=quality_level,
         nms_radius=nms_radius,
@@ -143,8 +142,7 @@ def extract_fused(
 ) -> Features:
     """Single-jit front-end for use inside larger jitted computations
     (pays the fused-gather penalty; prefer `extract` at the host level)."""
-    if img.ndim == 3:
-        img = to_gray(img)
+    img = to_gray(img)  # also normalizes 2-D uint8 input to float [0,1]
     uv, score, valid = detect.detect_corners(
         img, max_corners=max_features,
         quality_level=quality_level, nms_radius=nms_radius,

@@ -38,7 +38,14 @@ class LoopClosureConfig:
     hamming_thresh: float = 48.0  # a feature "hits" a keyframe below this
     min_score_abs: int = 60  # minimum hit count to consider a candidate
     min_score_rel: float = 0.55  # …and vs the adjacent-keyframe hit count
-    verify_min_inliers: int = 30  # PnP inliers to accept the loop
+    # PnP inliers to accept the loop. Measured on full-sequence lr traj3:
+    # drift shrinks genuine revisits to ~20-38 verified inliers, so 30
+    # rejected real closures by a hair; 20 accepts them. Three guards
+    # stand behind this permissive gate: the covisibility-disjointness
+    # check (pipeline._dispatch_loop_verify — rejects same-neighbourhood
+    # "closures"), the reprojection warp validation, and the DCS-robust
+    # edge in the pose graph.
+    verify_min_inliers: int = 20
     cooldown: int = 8  # keyframes to wait after a closure
     pgo_iters: int = 20
     edge_weight: float = 50.0  # loop-edge weight (DCS still guards it)
@@ -168,28 +175,36 @@ def point_anchor_keyframes(slam_map) -> np.ndarray:
 
 
 def apply_pose_graph_correction(
-    slam_map, R_new: np.ndarray, t_new: np.ndarray
+    slam_map, R_new: np.ndarray, t_new: np.ndarray,
+    s_new: np.ndarray | None = None,
 ) -> None:
     """Propagate optimized keyframe poses to the landmarks.
 
     Each landmark's coordinates in its anchor keyframe's camera frame are
-    held fixed: X' = R_new_kᵀ (R_old_k X + t_old_k − t_new_k). This is the
-    standard pose-graph map update (ORB-SLAM's loop-correction semantics),
-    done in one vectorized host pass.
+    held fixed. SE3 correction: X' = R_new_aᵀ (R_old_a X + t_old_a −
+    t_new_a). Sim3 correction (s_new given, the 7-DoF graph's per-keyframe
+    scale — ORB-SLAM's monocular loop-correction semantics): the anchor's
+    Sim3 is x_cam = s R x_w + t, so X' = (1/s_a) R_new_aᵀ (R_old_a X +
+    t_old_a − t_new_a) and the keyframe's metric SE3 pose becomes
+    (R_new_k, t_new_k / s_k) — reprojection through the anchor is
+    preserved exactly (x_cam scales by 1/s, a pure ray-preserving change).
     """
     anchor = point_anchor_keyframes(slam_map)
     sel = np.where(slam_map.pt_valid & (anchor >= 0))[0]
+    if s_new is None:
+        s_new = np.ones(len(R_new), np.float32)
+    t_metric = (t_new / s_new[:, None]).astype(np.float32)
     if len(sel) == 0:
         slam_map.kf_R = R_new.astype(np.float32)
-        slam_map.kf_t = t_new.astype(np.float32)
+        slam_map.kf_t = t_metric
         return
     a = anchor[sel]
     X = slam_map.pt_xyz[sel]
     Ro, to = slam_map.kf_R[a], slam_map.kf_t[a]
     Rn, tn = R_new[a], t_new[a]
     Xc = np.einsum("nij,nj->ni", Ro, X) + to  # anchor-camera coords
-    Xw = np.einsum("nji,nj->ni", Rn, Xc - tn)
+    Xw = np.einsum("nji,nj->ni", Rn, Xc - tn) / s_new[a][:, None]
     slam_map.pt_xyz[sel] = Xw.astype(np.float32)
     slam_map.kf_R = R_new.astype(np.float32)
-    slam_map.kf_t = t_new.astype(np.float32)
+    slam_map.kf_t = t_metric
     slam_map.refresh_scale_meas()

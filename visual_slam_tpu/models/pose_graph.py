@@ -302,6 +302,230 @@ def optimize_dense(g: PoseGraph, n_iters: int = 10, damping: float = 1e-6):
     return g_out.R, g_out.t, costs[-1]
 
 
+# --------------------------------------------------------------------- Sim(3)
+#
+# Monocular scale drift cannot be absorbed by an SE(3) pose graph: closing a
+# genuine loop whose two ends disagree in scale forces a rigid correction
+# that degrades reprojection everywhere (measured on lr traj3's real
+# frame-~1100 revisit: every SE3 closure attempt was rejected by the warp
+# validation). The 7-DoF graph gives each keyframe a log-scale and lets the
+# optimizer distribute the loop's scale discrepancy smoothly along the
+# chain — the ORB-SLAM monocular loop-correction semantics, and the full
+# meaning of BASELINE.json config #4 "scale-drift correction".
+#
+# Parameterization (world->cam): S_k = (s_k, R_k, t_k): x_cam = s_k R_k x_w
+# + t_k. Relative: S_i S_j^-1 = (s_i/s_j, R_i R_j^T, t_i - (s_i/s_j) R_rel
+# t_j). Left-composed delta (w, dt, dl) per node. The closed-form blocks
+# extend the SE3 ones by one column/row:
+#   d t_rel wrt node i = [w_i]x t_rel + dt_i + dl_i * t_rel
+#   d t_rel wrt node j = -(s_i/s_j) R_rel dt_j      (w_j, dl_j cancel)
+#   r_lam = (lam_i - lam_j) - log Z_s, d = dl_i - dl_j
+# Chain edges carry Z_s = 1 (adjacent keyframes share local scale); loop
+# edges carry the measured relative scale (median-depth ratio of the
+# verified landmarks — pipeline._close_loop).
+
+
+class Sim3Graph(NamedTuple):
+    R: jnp.ndarray  # (K,3,3) world->camera
+    t: jnp.ndarray  # (K,3)
+    lam: jnp.ndarray  # (K,) log-scale
+    e_i: jnp.ndarray  # (E,)
+    e_j: jnp.ndarray  # (E,)
+    Z_R: jnp.ndarray  # (E,3,3)
+    Z_t: jnp.ndarray  # (E,3)
+    Z_ls: jnp.ndarray  # (E,) log of measured relative scale s_i/s_j
+    w: jnp.ndarray  # (E,) pose-row weights (0 = padding)
+    w_lam: jnp.ndarray  # (E,) scale-row weights
+    fixed: jnp.ndarray  # (K,) bool
+
+
+def _sim3_edge_blocks(g: Sim3Graph, R, t, lam):
+    """Analytic residuals + 7x7 Jacobian blocks per edge.
+
+    Residual rows: [3 chordal rotation, 3 translation, 1 log-scale].
+    Delta columns per node: [w(3), dt(3), dl(1)].
+    """
+    s = jnp.exp(lam)
+    s_rel = s[g.e_i] / s[g.e_j]  # (E,)
+    Ri, ti = R[g.e_i], t[g.e_i]
+    Rj, tj = R[g.e_j], t[g.e_j]
+    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)  # R_i R_j^T
+    t_rel = ti - s_rel[:, None] * jnp.einsum("eab,eb->ea", R_rel, tj)
+
+    Zt = jnp.swapaxes(g.Z_R, -1, -2)
+    dRm = jnp.einsum("eab,ebc->eac", Zt, R_rel)  # Z^T R_rel
+    r_rot = lie.vee(dRm - jnp.swapaxes(dRm, -1, -2)) * 0.5
+    r_t = jnp.einsum("eab,eb->ea", Zt, t_rel - g.Z_t)
+    r_lam = lam[g.e_i] - lam[g.e_j] - g.Z_ls  # (E,)
+
+    G = jnp.asarray(_GEN, R.dtype)
+    Rt = jnp.swapaxes(R_rel, -1, -2)
+    A1 = jnp.einsum("eab,kbc,ecd->ekad", Zt, G, R_rel)
+    A2 = jnp.einsum("eab,kbc,ecd->ekad", Rt, G, g.Z_R)
+    L_i = jnp.swapaxes(lie.vee(A1 + A2) * 0.5, -1, -2)  # (E,3,3)
+    B1 = jnp.einsum("eab,kbc->ekac", dRm, G)
+    B2 = jnp.einsum("kab,ebc->ekac", G, jnp.einsum("eab,ebc->eac", Rt, g.Z_R))
+    L_j = jnp.swapaxes(lie.vee(B1 + B2) * -0.5, -1, -2)
+
+    Jt_wi = jnp.einsum("eab,kbc,ec->eak", Zt, G, t_rel)  # (E,3,3)
+    Jt_li = jnp.einsum("eab,eb->ea", Zt, t_rel)[..., None]  # (E,3,1)
+    zero33 = jnp.zeros_like(L_i)
+    zero31 = jnp.zeros_like(Jt_li)
+    zero13 = jnp.zeros((L_i.shape[0], 1, 3), R.dtype)
+    one11 = jnp.ones((L_i.shape[0], 1, 1), R.dtype)
+
+    J_i = jnp.concatenate(
+        [
+            jnp.concatenate([L_i, zero33, zero31], axis=-1),
+            jnp.concatenate([Jt_wi, Zt, Jt_li], axis=-1),
+            jnp.concatenate([zero13, zero13, one11], axis=-1),
+        ],
+        axis=-2,
+    )  # (E,7,7)
+    ZtR = jnp.einsum("eab,ebc->eac", Zt, R_rel) * s_rel[:, None, None]
+    J_j = jnp.concatenate(
+        [
+            jnp.concatenate([L_j, zero33, zero31], axis=-1),
+            jnp.concatenate([zero33, -ZtR, zero31], axis=-1),
+            jnp.concatenate([zero13, zero13, -one11], axis=-1),
+        ],
+        axis=-2,
+    )  # (E,7,7)
+    r = jnp.concatenate([r_rot, r_t, r_lam[:, None]], axis=-1)  # (E,7)
+    return r, J_i, J_j
+
+
+def _apply_sim3_delta(R, t, lam, delta):
+    """delta (K,7) = [w, dt, dl], left-composed: S' = exp(delta) S."""
+    dR, dt = lie.se3_exp(delta[:, :6])
+    dl = delta[:, 6]
+    s_d = jnp.exp(dl)
+    R_new = dR @ R
+    t_new = s_d[:, None] * jnp.einsum("kij,kj->ki", dR, t) + dt
+    return R_new, t_new, lam + dl
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "use_dcs"))
+def optimize_sim3(
+    g: Sim3Graph,
+    n_iters: int = 12,
+    cg_iters: int = 32,
+    damping: float = 1e-5,
+    dcs_phi: float = 1.0,
+    use_dcs: bool = True,
+):
+    """7-DoF pose-graph Gauss-Newton (analytic blocks + block-Jacobi PCG,
+    DCS on the pose rows). Returns (R, t, lam, final cost)."""
+    K = g.R.shape[0]
+    free = (~g.fixed).astype(g.R.dtype)
+
+    def step(carry, _):
+        R, t, lam = carry
+        r, J_i, J_j = _sim3_edge_blocks(g, R, t, lam)
+        chi2 = g.w * jnp.sum(r[:, :6] * r[:, :6], axis=-1)
+        dcs = _dcs_weight(chi2, dcs_phi) if use_dcs else 1.0
+        row_w = jnp.concatenate(
+            [
+                jnp.broadcast_to((g.w * dcs)[:, None], (r.shape[0], 6)),
+                (g.w_lam * dcs)[:, None],
+            ],
+            axis=-1,
+        )  # (E,7)
+        wJi = J_i * row_w[:, :, None]
+        wJj = J_j * row_w[:, :, None]
+        H_ii = jnp.einsum("eri,erj->eij", wJi, J_i)
+        H_jj = jnp.einsum("eri,erj->eij", wJj, J_j)
+        H_ij = jnp.einsum("eri,erj->eij", wJi, J_j)
+        g_i = jnp.einsum("eri,er->ei", wJi, r)
+        g_j = jnp.einsum("eri,er->ei", wJj, r)
+
+        D = jnp.zeros((K, 7, 7), R.dtype)
+        D = D.at[g.e_i].add(H_ii).at[g.e_j].add(H_jj)
+        D = D + damping * jnp.eye(7, dtype=R.dtype)[None]
+        grad = jnp.zeros((K, 7), R.dtype)
+        grad = grad.at[g.e_i].add(g_i).at[g.e_j].add(g_j)
+        grad = grad * free[:, None]
+        D_inv = jnp.linalg.solve(
+            D, jnp.broadcast_to(jnp.eye(7, dtype=R.dtype), D.shape)
+        )
+
+        def matvec(x):
+            x = x * free[:, None]
+            off = jnp.zeros_like(x)
+            off = off.at[g.e_i].add(jnp.einsum("eij,ej->ei", H_ij, x[g.e_j]))
+            off = off.at[g.e_j].add(jnp.einsum("eji,ej->ei", H_ij, x[g.e_i]))
+            return (jnp.einsum("kij,kj->ki", D, x) + off) * free[:, None]
+
+        def precond(x):
+            return jnp.einsum("kij,kj->ki", D_inv, x) * free[:, None]
+
+        b = -grad
+        x = jnp.zeros_like(b)
+        rr = b
+        z = precond(rr)
+        p = z
+
+        def cg_body(c, _):
+            x, rr, z, p = c
+            Ap = matvec(p)
+            rz = jnp.sum(rr * z)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+            x = x + alpha * p
+            r_new = rr - alpha * Ap
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.where(
+                jnp.abs(rz) > 1e-20, rz, 1e-20
+            )
+            return (x, r_new, z_new, z_new + beta * p), None
+
+        (delta, _, _, _), _ = jax.lax.scan(
+            cg_body, (x, rr, z, p), None, length=cg_iters
+        )
+        delta = delta * free[:, None]
+        R_new, t_new, lam_new = _apply_sim3_delta(R, t, lam, delta)
+        cost = jnp.sum(row_w * r * r)
+        return (R_new, t_new, lam_new), cost
+
+    (R_out, t_out, lam_out), costs = jax.lax.scan(
+        step, (g.R, g.t, g.lam), None, length=n_iters
+    )
+    return R_out, t_out, lam_out, costs[-1]
+
+
+def sim3_from_keyframe_chain(
+    R: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray
+) -> Sim3Graph:
+    """Chain Sim3 graph: consecutive keyframes, Z from current relative
+    poses, Z_s = 1 (adjacent keyframes share local scale), lam = 0."""
+    K = R.shape[0]
+    i = jnp.arange(K - 1)
+    j = i + 1
+    Z_R, Z_t = _rel(R, t, i, j)
+    w = (valid[i] & valid[j]).astype(R.dtype)
+    fixed = jnp.zeros(K, bool).at[0].set(True) | ~valid
+    return Sim3Graph(
+        R=R, t=t, lam=jnp.zeros(K, R.dtype),
+        e_i=i, e_j=j, Z_R=Z_R, Z_t=Z_t,
+        Z_ls=jnp.zeros(K - 1, R.dtype),
+        w=w, w_lam=w, fixed=fixed,
+    )
+
+
+def sim3_add_edges(g: Sim3Graph, e_i, e_j, Z_R, Z_t, Z_ls, w) -> Sim3Graph:
+    """Append Sim3 loop edges (log relative scale Z_ls per edge)."""
+    w = jnp.asarray(w, g.w.dtype)
+    return g._replace(
+        e_i=jnp.concatenate([g.e_i, jnp.asarray(e_i, g.e_i.dtype)]),
+        e_j=jnp.concatenate([g.e_j, jnp.asarray(e_j, g.e_j.dtype)]),
+        Z_R=jnp.concatenate([g.Z_R, jnp.asarray(Z_R, g.Z_R.dtype)]),
+        Z_t=jnp.concatenate([g.Z_t, jnp.asarray(Z_t, g.Z_t.dtype)]),
+        Z_ls=jnp.concatenate([g.Z_ls, jnp.asarray(Z_ls, g.Z_ls.dtype)]),
+        w=jnp.concatenate([g.w, w]),
+        w_lam=jnp.concatenate([g.w_lam, w]),
+    )
+
+
 def from_keyframe_chain(
     R: jnp.ndarray,
     t: jnp.ndarray,

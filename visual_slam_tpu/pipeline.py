@@ -44,6 +44,10 @@ class FrameResult:
     t_cw: np.ndarray
     n_tracked: int
     is_keyframe: bool
+    # Keyframe the frame tracked against (-1 before init). Pose-graph
+    # corrections move non-keyframe poses through this anchor: the frame's
+    # pose RELATIVE to its reference keyframe is correction-invariant.
+    ref_kf: int = -1
 
 
 # ---------------------------------------------------------------- blob packing
@@ -165,6 +169,7 @@ def _track_step(
     static_argnames=(
         "window", "max_features", "quality_level", "nms_radius", "interpret",
         "n_hyps", "refine_iters", "cross_check", "min_track_pts",
+        "xla_frontend",
     ),
 )
 def _track_window(
@@ -189,6 +194,7 @@ def _track_window(
     refine_iters: int,
     cross_check: bool,
     min_track_pts: int,
+    xla_frontend: bool = False,
 ):
     """A WINDOW of tracking steps as ONE device dispatch.
 
@@ -222,9 +228,18 @@ def _track_window(
         pR, pt = carry
         img, key = inp
         gray = frontend.to_gray(img)
-        feats = frontend._extract_pallas_fused(
-            gray, max_features, interpret, quality_level, nms_radius
-        )
+        if xla_frontend:
+            # CPU-test route (frontend.FRONTEND_BACKEND == "xla"): the
+            # Pallas kernels in interpret mode unroll their K-step grids
+            # into the scan's compile (K=1024 bodies x W frames — hours);
+            # the XLA conv/gather front-end compiles in seconds there.
+            feats = frontend.extract_fused(
+                gray, max_features, quality_level, nms_radius
+            )
+        else:
+            feats = frontend._extract_pallas_fused(
+                gray, max_features, interpret, quality_level, nms_radius
+            )
         idx2, dist, good = match.match_ratio_test(
             snap_desc, feats.desc, snap_valid, feats.valid, ratio=ratio,
             max_distance=max_hamming, cross_check=cross_check,
@@ -263,7 +278,7 @@ def _track_window(
     jax.jit,
     static_argnames=(
         "window", "max_features", "quality_level", "nms_radius", "interpret",
-        "cross_check",
+        "cross_check", "xla_frontend",
     ),
 )
 def _init_scan_window(
@@ -280,6 +295,7 @@ def _init_scan_window(
     nms_radius: int,
     interpret: bool,
     cross_check: bool,
+    xla_frontend: bool = False,
 ):
     """Cheap init-phase pre-screen for a WINDOW of frames in ONE dispatch.
 
@@ -300,9 +316,14 @@ def _init_scan_window(
 
     def step(carry, img):
         gray = frontend.to_gray(img)
-        feats = frontend._extract_pallas_fused(
-            gray, max_features, interpret, quality_level, nms_radius
-        )
+        if xla_frontend:  # CPU-test route; see _track_window
+            feats = frontend.extract_fused(
+                gray, max_features, quality_level, nms_radius
+            )
+        else:
+            feats = frontend._extract_pallas_fused(
+                gray, max_features, interpret, quality_level, nms_radius
+            )
         idx2, dist, good = match.match_ratio_test(
             f0_desc, feats.desc, f0_valid, feats.valid, ratio=ratio,
             max_distance=max_hamming, cross_check=cross_check,
@@ -904,6 +925,7 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
             min_track_pts=cfg.tracking.min_tracked_points,
+            xla_frontend=frontend.FRONTEND_BACKEND == "xla",
         )
         _fetch_async(blobs)
         return dict(
@@ -991,7 +1013,10 @@ class Slam:
                 frame_idx, feats_host, R_np, t_np, inl_np, idx2_np, depth,
                 snap=snap,
             )
-        self.trajectory.append(FrameResult(frame_idx, R_np, t_np, n_tracked, is_kf))
+        self.trajectory.append(FrameResult(
+            frame_idx, R_np, t_np, n_tracked, is_kf,
+            ref_kf=self._last_kf_id if self._last_kf_id is not None else -1,
+        ))
 
     def _keyframe_rule(self, n_tracked: int, n_local: int) -> bool:
         """Keyframe decision ≙ main.py:221, evaluated host-side.
@@ -1543,6 +1568,25 @@ class Slam:
         cand = lc_mod.find_candidate(scores, kf_id, cfg)
         if cand is None:
             return
+        # Covisibility-disjointness gate: a genuine loop candidate shares
+        # (almost) no LIVE landmarks with the current keyframe — shared
+        # landmarks mean the two views are the same neighbourhood reached
+        # by continuous tracking, and "closing" it adds a rigid edge for
+        # geometry local BA already governs (measured: an accepted
+        # kf15-vs-kf2 "closure" 163 frames apart bent the late trajectory,
+        # full-seq ATE 0.064 -> 0.121). ORB-SLAM's analog: candidates must
+        # be disconnected from the covisibility graph.
+        cur_pts, _ = self.map.points_seen_by(kf_id)
+        cand_pts, _ = self.map.points_seen_by(cand)
+        if len(cur_pts) and len(cand_pts):
+            overlap = np.isin(cand_pts, cur_pts).sum() / min(
+                len(cur_pts), len(cand_pts)
+            )
+            if overlap > 0.05:
+                self.stats["loop_rejected_covis"] = (
+                    self.stats.get("loop_rejected_covis", 0) + 1
+                )
+                return
         tcfg = self.cfg.tracking
         fq = self.cfg.frontend
         snap = self.map.local_snapshot(cand)
@@ -1639,11 +1683,34 @@ class Slam:
         sel, pt_ids = sel[fresh], pt_ids[fresh]
         # (The cross-observations are inserted AFTER the warp validation
         # below — on a rejected closure they would poison every later BA.)
-        # SE3 loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113).
+        # Loop edge (≙ EdgeSE3 + RobustKernelDCS, LocalBA.py:97-113), plus
+        # the measured RELATIVE SCALE for the monocular Sim3 graph: old
+        # landmarks' median depth under the PnP-verified pose vs the
+        # current keyframe's own landmarks' median depth — both medians
+        # summarize the same visible scene, so their ratio is the local
+        # map-scale drift the 7-DoF pose graph must absorb (an SE3-only
+        # correction of a scale-drifted loop degrades reprojection and was
+        # warp-rejected on every genuine lr-traj3 closure attempt).
         Z_R, Z_t = lc_mod.loop_edge_measurement(
             self.map.kf_R[cand], self.map.kf_t[cand], R_corr, t_corr
         )
-        self._loop_edges.append((cand, kf_id, Z_R, Z_t))
+        old_ids = snap["pt_ids_np"][np.where(inl_host)[0]]
+        Xo = self.map.pt_xyz[old_ids]
+        z_old = (Xo @ R_corr.T + t_corr)[:, 2]
+        cur_ids, _ = self.map.points_seen_by(kf_id)
+        Xc_ = self.map.pt_xyz[cur_ids]
+        z_new = (
+            Xc_ @ self.map.kf_R[kf_id].T + self.map.kf_t[kf_id]
+        )[:, 2]
+        z_old = z_old[z_old > 0.05]
+        z_new = z_new[z_new > 0.05]
+        if len(z_old) >= 5 and len(z_new) >= 5:
+            s_m = float(np.clip(
+                np.median(z_old) / np.median(z_new), 1.0 / 3.0, 3.0
+            ))
+        else:
+            s_m = 1.0
+        self._loop_edges.append((cand, kf_id, Z_R, Z_t, np.log(s_m)))
         # Pose-graph correction + landmark re-anchoring — VALIDATED: a
         # false-positive closure that survives the inlier vote (30+ lucky
         # matches happen on repetitive synthetic texture; measured 2x ATE
@@ -1657,12 +1724,9 @@ class Slam:
         )
         prob0 = self.map.to_ba_problem(self.cfg.intrinsics)
         err0_d, w0_d = ba_mod.reproj_errors(prob0)
-        g = self._build_pose_graph()
-        R_new, t_new, _ = pose_graph_mod().optimize(
-            g, n_iters=cfg.pgo_iters, use_dcs=True
-        )
+        R_new, t_new, s_new = self._optimize_pose_graph_arrays(cfg.pgo_iters)
         lc_mod.apply_pose_graph_correction(
-            self.map, np.asarray(R_new), np.asarray(t_new)
+            self.map, R_new, t_new, s_new
         )
         prob1 = self.map.to_ba_problem(self.cfg.intrinsics)
         err1_d, w1_d = ba_mod.reproj_errors(prob1)
@@ -1683,7 +1747,7 @@ class Slam:
             self.map.add_observations(
                 kf_id, pt_ids, np.asarray(feats.uv)[idx2_host[sel]]
             )
-        self._rewrite_keyframe_trajectory()
+        self._rewrite_keyframe_trajectory(old_R=saved[0], old_t=saved[1])
         # Reset tracking around the corrected pose/map; in-flight pipelined
         # frames referenced the pre-correction world and must not keyframe.
         # Anchor on the LATEST keyframe: the async verify consume can land
@@ -1697,12 +1761,39 @@ class Slam:
         self._pose_dev = None
         self._last_loop_kf = kf_id
         self.stats["loop_closures"] = self.stats.get("loop_closures", 0) + 1
+        # Acceptance record for offline diagnosis: which keyframe closed
+        # against which candidate, with how many verified inliers, and the
+        # blown-observation fractions the warp validation compared.
+        self.stats.setdefault("loop_accepted", []).append(
+            dict(kf=int(kf_id), cand=int(cand), n_inl=int(n_inl),
+                 blown_before=round(blown0, 4), blown_after=round(blown1, 4))
+        )
         # Fresh full BA over the corrected map (replaces the discarded one).
         self._dispatch_ba(kf_id, scale_gauge=False)
 
+    def _padded_loop_edges(self):
+        """Loop-edge arrays padded to an 8-edge bucket (each distinct edge
+        count is a fresh XLA compile). Returns None when no edges."""
+        E = len(self._loop_edges)
+        if E == 0:
+            return None
+        cap = 8 * ((E + 7) // 8)
+        e_i = np.zeros(cap, np.int32)
+        e_j = np.zeros(cap, np.int32)
+        Z_R = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+        Z_t = np.zeros((cap, 3), np.float32)
+        Z_ls = np.zeros(cap, np.float32)
+        w = np.zeros(cap, np.float32)
+        for n, (i, j, zr, zt, ls) in enumerate(self._loop_edges):
+            e_i[n], e_j[n] = i, j
+            Z_R[n], Z_t[n] = zr, zt
+            Z_ls[n] = ls
+            w[n] = self.cfg.loop.edge_weight
+        return e_i, e_j, Z_R, Z_t, Z_ls, w
+
     def _build_pose_graph(self):
-        """Keyframe chain + accumulated loop edges, padded to an 8-edge
-        bucket (each distinct edge count is a fresh XLA compile)."""
+        """SE3 keyframe chain + scale edges + accumulated loop edges (the
+        metric/RGB-D pose graph; monocular uses _build_sim3_graph)."""
         pg = pose_graph_mod()
         g = pg.from_keyframe_chain(
             jnp.asarray(self.map.kf_R),
@@ -1710,22 +1801,61 @@ class Slam:
             jnp.asarray(self.map.kf_valid),
             scale_meas=jnp.asarray(self.map.kf_scale_meas[1:]),
         )
-        E = len(self._loop_edges)
-        if E == 0:
+        edges = self._padded_loop_edges()
+        if edges is None:
             return g
-        cap = 8 * ((E + 7) // 8)
-        e_i = np.zeros(cap, np.int32)
-        e_j = np.zeros(cap, np.int32)
-        Z_R = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
-        Z_t = np.zeros((cap, 3), np.float32)
-        w = np.zeros(cap, np.float32)
-        for n, (i, j, zr, zt) in enumerate(self._loop_edges):
-            e_i[n], e_j[n] = i, j
-            Z_R[n], Z_t[n] = zr, zt
-            w[n] = self.cfg.loop.edge_weight
+        e_i, e_j, Z_R, Z_t, _, w = edges
         return pg.add_edges(g, e_i, e_j, Z_R, Z_t, w)
 
-    def _rewrite_keyframe_trajectory(self) -> None:
+    def _build_sim3_graph(self):
+        """7-DoF (Sim3) keyframe chain + loop edges with measured relative
+        scale — the monocular pose graph (config #4 scale-drift
+        correction; see models/pose_graph.py Sim3 notes)."""
+        pg = pose_graph_mod()
+        g = pg.sim3_from_keyframe_chain(
+            jnp.asarray(self.map.kf_R),
+            jnp.asarray(self.map.kf_t),
+            jnp.asarray(self.map.kf_valid),
+        )
+        edges = self._padded_loop_edges()
+        if edges is None:
+            return g
+        e_i, e_j, Z_R, Z_t, Z_ls, w = edges
+        return pg.sim3_add_edges(g, e_i, e_j, Z_R, Z_t, Z_ls, w)
+
+    def _optimize_pose_graph_arrays(self, n_iters: int):
+        """Run the appropriate pose graph (Sim3 for monocular, SE3+scale
+        edges for metric/RGB-D). Returns host arrays (R, t, s|None)."""
+        pg = pose_graph_mod()
+        use_dcs = bool(self._loop_edges)
+        if self.cfg.use_depth:
+            g = self._build_pose_graph()
+            R, t, _ = pg.optimize(g, n_iters=n_iters, use_dcs=use_dcs)
+            return np.asarray(R), np.asarray(t), None
+        g = self._build_sim3_graph()
+        R, t, lam, _ = pg.optimize_sim3(g, n_iters=n_iters, use_dcs=use_dcs)
+        s = np.exp(np.asarray(lam)).astype(np.float32)
+        self.stats["pgo_max_abs_log_scale"] = round(
+            float(np.max(np.abs(np.asarray(lam)))), 4
+        )
+        return np.asarray(R), np.asarray(t), s
+
+    def _rewrite_keyframe_trajectory(
+        self, old_R: np.ndarray | None = None, old_t: np.ndarray | None = None
+    ) -> None:
+        """Propagate a map correction (pose graph / loop closure) into the
+        stored trajectory.
+
+        Keyframe entries take their keyframe's corrected pose directly.
+        When the PRE-correction keyframe poses are supplied, non-keyframe
+        entries move through their reference keyframe: the frame's pose
+        relative to that keyframe is correction-invariant, so
+        T_frame_new = (T_frame_old ∘ T_kf_old⁻¹) ∘ T_kf_new. Without this,
+        a large correction left ~90% of the trajectory (the tracking
+        frames) in the pre-correction world — measured full-sequence mono:
+        an accepted closure made ATE WORSE (0.064 no-loop vs 0.081-0.121
+        with) because the evaluated trajectory mixed the two worlds.
+        """
         kf_by_frame = {
             int(f): k
             for k, f in enumerate(self.map.kf_frame_idx)
@@ -1736,24 +1866,31 @@ class Slam:
             if k is not None:
                 fr.R_cw = self.map.kf_R[k].copy()
                 fr.t_cw = self.map.kf_t[k].copy()
+            elif old_R is not None and 0 <= fr.ref_kf < len(old_R):
+                a = fr.ref_kf
+                if not self.map.kf_valid[a]:
+                    continue
+                R_rel = fr.R_cw @ old_R[a].T
+                t_rel = fr.t_cw - R_rel @ old_t[a]
+                fr.R_cw = (R_rel @ self.map.kf_R[a]).astype(np.float32)
+                fr.t_cw = (R_rel @ self.map.kf_t[a] + t_rel).astype(np.float32)
 
     def optimize_pose_graph(self, n_iters: int = 15) -> None:
         """Final keyframe pose-graph optimization with scale edges and any
         accumulated loop edges (config #4 scale-drift correction; ≙ the
         EdgeSE3/EdgeSBAScale chain the reference builds in LocalBA.py:97-131).
         Updates keyframe poses (landmarks re-anchored) and rewrites the
-        trajectory entries of keyframe frames."""
+        whole trajectory (non-keyframe entries move through their
+        reference keyframe — see _rewrite_keyframe_trajectory)."""
         # Land the deferred mine first WITH its BA (the final keyframe's
         # mined points would otherwise never be optimized), then everything
         # else still in flight.
         self._apply_pending_mine(force=True, dispatch_ba=True)
         self._apply_pending_ba(force=True)
-        g = self._build_pose_graph()
-        R, t, cost = pose_graph_mod().optimize(
-            g, n_iters=n_iters, use_dcs=bool(self._loop_edges)
-        )
-        lc_mod.apply_pose_graph_correction(self.map, np.asarray(R), np.asarray(t))
-        self._rewrite_keyframe_trajectory()
+        R, t, s = self._optimize_pose_graph_arrays(n_iters)
+        old_R, old_t = self.map.kf_R.copy(), self.map.kf_t.copy()
+        lc_mod.apply_pose_graph_correction(self.map, R, t, s)
+        self._rewrite_keyframe_trajectory(old_R=old_R, old_t=old_t)
 
     # ------------------------------------------------------------------ eval
 
@@ -1923,23 +2060,26 @@ def run_windowed(
     """Drive a Slam with W-frame device-side tracking windows.
 
     Each window is ONE device dispatch + ONE packed fetch (_track_window:
-    the extract->match->PnP loop and the keyframe rule run on device via
-    lax.scan). The host walks the window's packed results up to the first
-    EVENT (keyframe wanted / tracking failure), handles the event with the
-    existing per-frame machinery, and replays the remaining frames — they
-    were tracked against a snapshot the event invalidated. Keyframes occur
-    every ~10-20 frames, so most windows complete event-free and the
-    per-frame ~25-30 ms tunnel round trips amortize ~W×.
+    the extract->match->PnP loop runs on device via lax.scan; the keyframe
+    rule is applied by the host while walking the fetched rows —
+    _walk_window). Windows are speculatively double-buffered: window k+1
+    is dispatched (pose carry chained on device) before window k's rows
+    are walked, hiding each window's ~50 ms fetch round trip under the
+    next window's compute.
 
-    The init phase runs through the pipelined per-frame dispatches
-    (run_pipelined) until initialized.
+    Staleness discipline (the round-3 full-sequence collapse was here):
+    keyframe candidates and failures observed in rows whose dispatch
+    snapshot has been superseded are re-confirmed against the current map
+    with one synchronous re-track (see _walk_window), and a pending mine
+    is force-applied before each dispatch so the snapshot never lags
+    mining by more than the one in-flight speculative window.
 
-    Measured (TPU v5e via tunnel, 200-frame lr, warm): tracking-phase
-    18.9 fps windowed vs 15.1 fps pipelined-depth-6 (+25%); end-to-end the
-    modes tie (~23-25 fps) because synchronous keyframe insertion
-    (~0.3 s x ~10 keyframes: forced BA apply + mining + loop scoring) is
-    the remaining latency term in both. Kept opt-in; the per-frame
-    pipelined loop stays the default.
+    The init phase uses the windowed pre-screen (one _init_scan_window
+    dispatch per window, full init attempts only on flow-gated candidates).
+
+    The per-frame pipelined loop (run_pipelined) is the production
+    default; this driver is the maximum-device-rate variant whose scans
+    also back the multi-sequence batched mode (multi.run_batched_windowed).
     """
     it = iter(frame_iter)
     carry: list = []  # frames to (re)process first: [(idx, gray, depth)]
@@ -2007,6 +2147,7 @@ def run_windowed(
                     nms_radius=cfg.frontend.nms_radius,
                     interpret=jax.default_backend() != "tpu",
                     cross_check=cfg.frontend.cross_check,
+                    xla_frontend=frontend.FRONTEND_BACKEND == "xla",
                 )
                 (scal_np,) = _fetch_now(scal)
                 scal_np = scal_np[:n_real]
@@ -2200,7 +2341,10 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
                 t_np = blob2[9:12].copy()
                 slam._prev_R, slam._prev_t = R_np, t_np
                 slam._frames_since_kf += 1
-                slam.trajectory.append(FrameResult(idx, R_np, t_np, n2, False))
+                slam.trajectory.append(FrameResult(
+                    idx, R_np, t_np, n2, False,
+                    ref_kf=slam._last_kf_id if slam._last_kf_id is not None else -1,
+                ))
                 if on_frame is not None:
                     on_frame(slam, idx)
                 # The device pose chain held the last good pose on failure,
@@ -2208,7 +2352,10 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
                 continue
             _, R_np, t_np, n_in = slam._handle_track_failure(feats)
             slam._frames_since_kf += 1
-            slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, False))
+            slam.trajectory.append(FrameResult(
+                idx, R_np, t_np, n_in, False,
+                ref_kf=slam._last_kf_id if slam._last_kf_id is not None else -1,
+            ))
             if on_frame is not None:
                 on_frame(slam, idx)
             # Later rows tracked through the failed pose chain: replay.
@@ -2249,7 +2396,10 @@ def _walk_window(slam, win, blobs_np, snap, on_frame=None,
             slam._insert_keyframe(
                 idx, feats, R_np, t_np, inl, idx2, win[r][2], snap=snap
             )
-        slam.trajectory.append(FrameResult(idx, R_np, t_np, n_in, is_kf))
+        slam.trajectory.append(FrameResult(
+            idx, R_np, t_np, n_in, is_kf,
+            ref_kf=slam._last_kf_id if slam._last_kf_id is not None else -1,
+        ))
         if on_frame is not None:
             if getattr(on_frame, "wants_image", False):
                 # Live camera view + tracked-match overlay (≙ the match

@@ -1,0 +1,162 @@
+"""Hand-counted per-stage flops/bytes for the tracking hot path.
+
+Replaces the XLA cost-analysis numbers the round-3 bench printed and then
+disavowed in its own docstring (cost analysis both overcounted the
+descriptor matmuls' precision passes and could not see inside Pallas custom
+calls). Every numerator here is derived from the actual op shapes and
+defended in a comment next to its term; scripts/profile_stages.py measures
+the per-stage wall times these divide into.
+
+Conventions: a fused multiply-add counts as 2 flops; a compare/max counts
+as 1. "bytes" is the minimal HBM traffic of the stage — operands read once,
+results written once, ignoring any cache reuse XLA may add on top — i.e. a
+bandwidth LOWER bound, matching how rooflines are usually drawn.
+"""
+from __future__ import annotations
+
+# TPU v5e peaks (public spec numbers).
+PEAK_BF16_TFLOPS = 197.0
+PEAK_F32_TFLOPS = 49.0  # MXU f32 ~= 1/4 of bf16
+PEAK_HBM_GBPS = 819.0
+
+
+def stage_costs(
+    H: int = 480,
+    W: int = 640,
+    K: int = 1024,   # feature budget (frontend.max_features)
+    M: int = 2048,   # tracking-snapshot capacity (map.track_capacity)
+    B: int = 32,     # descriptor rotation bins (descriptor_mxu.N_BINS)
+    D: int = 256,    # descriptor bits
+    PATCH: int = 32,
+    WIN_H: int = 40,
+    WIN_W: int = 160,
+    nms_radius: int = 3,
+    blur_radius: int = 4,
+    gn_iters: int = 10,
+) -> dict:
+    """Per-stage dicts: {flops, flops_dtype, bytes, note}."""
+    px = H * W
+    s = {}
+
+    # -- detect_blur (Pallas, ops/pallas/detect_kernel._detect_blur_kernel) --
+    # Per pixel: Sobel ix,iy (5 add + 1 mul each = 12); 3 gradient products;
+    # 3 separable 3x3 box sums (4 adds each) + 3 scale muls = 15; min-eig
+    # response ~8 (incl. sqrt); border mask 1; separable NMS radius r =
+    # 2*(2r) maxes + 1 compare = 13 at r=3; separable Gaussian blur radius 4
+    # = 2*(1 + 4*3) = 26.  Total ~78 flops/px on the VPU.
+    nms = 4 * nms_radius + 1
+    blur = 2 * (1 + blur_radius * 3)
+    per_px = 12 + 3 + 15 + 8 + 1 + nms + blur
+    s["detect_blur"] = dict(
+        flops=per_px * px, flops_dtype="f32",
+        bytes=4 * px + 2 * 4 * px,  # image in, peaks + blurred out
+        note=f"{per_px} VPU flops/px x {px} px; 1 read + 2 writes",
+    )
+
+    # -- top-k corner select (XLA lax.top_k over H*W) --
+    # Counted as one comparison sweep of the peak map (the TPU lowering is
+    # a multi-pass partial sort; this is the single-pass lower bound).
+    s["topk"] = dict(
+        flops=px, flops_dtype="f32",
+        bytes=4 * px + K * 8,
+        note="1 compare/px lower bound; peak map read, K (uv,score) out",
+    )
+
+    # -- aligned window copy (Pallas, patch_kernel.extract_windows) --
+    s["windows"] = dict(
+        flops=0, flops_dtype="-",
+        bytes=4 * px + K * WIN_H * WIN_W * 4,
+        note="pure copy: image read + K aligned windows written",
+    )
+
+    # -- patch cut (one-hot selection matmuls, patch_kernel.cut_patches) --
+    # einsum kab,kaw->kbw: 2*K*PATCH*WIN_H*WIN_W; kbw,kwj->kbj:
+    # 2*K*PATCH*WIN_W*PATCH. f32 (exact 0/1 selection).
+    cut_flops = 2 * K * PATCH * WIN_H * WIN_W + 2 * K * PATCH * WIN_W * PATCH
+    s["cut_patches"] = dict(
+        flops=cut_flops, flops_dtype="f32",
+        bytes=K * WIN_H * WIN_W * 4 + K * PATCH * PATCH * 4,
+        note="one-hot row/col selection matmuls; windows in, patches out",
+    )
+
+    # -- orientation moments (descriptor_mxu.orientation_from_patches) --
+    s["orientation"] = dict(
+        flops=2 * 2 * K * PATCH * PATCH, flops_dtype="f32",
+        bytes=K * PATCH * PATCH * 4,
+        note="two K x 1024 matvecs (m10, m01)",
+    )
+
+    # -- descriptor sampling (descriptor_mxu._sample_and_pack) --
+    # All-bin difference matmul kp,bpd->bkd: 2*K*PATCH^2*D*B in bf16, then
+    # the f32 one-hot bin blend bkd,kb->kd: 2*B*K*D.
+    samp = 2 * K * PATCH * PATCH * D * B
+    s["descriptor"] = dict(
+        flops=samp + 2 * B * K * D, flops_dtype="bf16",
+        bytes=(
+            K * PATCH * PATCH * 2        # flat patches (bf16)
+            + B * PATCH * PATCH * D * 2  # difference matrices (bf16)
+            + 2 * B * K * D * 4          # (B,K,D) f32 intermediate w+r
+            + K * 8 * 4                  # packed descriptors out
+        ),
+        note=f"2*{K}*{PATCH**2}*{D}*{B} bf16 MACs; the (B,K,D) "
+        "intermediate round-trips HBM",
+    )
+
+    # -- matching (ops/match.match_ratio_test) --
+    # +/-1 Gram matmul 2*M*K*D bf16; top-2 + mutual check ~3 compares/cell.
+    s["match"] = dict(
+        flops=2 * M * K * D + 3 * M * K, flops_dtype="bf16",
+        bytes=(M + K) * D // 8 + (M + K) * D * 2 + M * K * 4,
+        note="Hamming-as-matmul (M x 256)(256 x K); distance matrix "
+        "written once for top-2/mutual passes",
+    )
+
+    # -- PnP fast path (ops/pnp.solve_pnp_tracked, prior-seeded branch) --
+    # 3 residual sweeps (project + gate, ~20 flops/pt) + 2 GN calls x
+    # gn_iters x ~120 flops/pt (27 upper-H products + J rows + residual).
+    s["pnp"] = dict(
+        flops=3 * 20 * M + 2 * gn_iters * 120 * M, flops_dtype="f32",
+        bytes=M * (3 + 2 + 1) * 4 * 3,
+        note="residual sweeps + 2 Huber-IRLS GN refines (RANSAC branch "
+        "excluded: lax.cond, not taken with a frame-rate prior)",
+    )
+
+    total_flops = sum(v["flops"] for v in s.values())
+    total_bytes = sum(v["bytes"] for v in s.values())
+    s["_total"] = dict(flops=total_flops, bytes=total_bytes)
+    return s
+
+
+def stage_table(costs: dict, measured_ms: dict | None = None) -> dict:
+    """Roofline table: per-stage flops/bytes (+ achieved rates and % of
+    peak when measured times are supplied).
+
+    measured_ms keys must match stage_costs keys; stages without a
+    measurement get rates of None.
+    """
+    table = {}
+    for k, v in costs.items():
+        if k.startswith("_"):
+            continue
+        row = dict(
+            gflops=round(v["flops"] / 1e9, 4),
+            mbytes=round(v["bytes"] / 1e6, 2),
+            dtype=v["flops_dtype"],
+            note=v["note"],
+        )
+        ms = (measured_ms or {}).get(k)
+        if ms:
+            peak = PEAK_BF16_TFLOPS if v["flops_dtype"] == "bf16" else PEAK_F32_TFLOPS
+            row["ms"] = round(ms, 4)
+            row["achieved_tflops"] = round(v["flops"] / ms / 1e9, 3)
+            row["pct_compute_peak"] = round(v["flops"] / ms / 1e9 / peak * 100, 2)
+            row["achieved_gbps"] = round(v["bytes"] / ms / 1e6, 1)
+            row["pct_hbm_peak"] = round(
+                v["bytes"] / ms / 1e6 / PEAK_HBM_GBPS * 100, 2
+            )
+            row["bound"] = (
+                "compute" if row["pct_compute_peak"] >= row["pct_hbm_peak"]
+                else "bandwidth"
+            )
+        table[k] = row
+    return table
