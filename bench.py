@@ -122,15 +122,19 @@ def main():
                 s.stats["init_wall_s"] = time.perf_counter() - t_start
         return cb
 
-    def run_mode_cb(slam, it):
+    prof_io: dict = {}
+
+    def run_mode_cb(slam, it, prof=None):
         cb = make_phase_cb(time.perf_counter())
         if MODE == "windowed":
             return run_windowed(slam, it, window=WINDOW, on_frame=cb)
-        return run_pipelined(slam, it, pipeline_depth=PIPE_DEPTH, on_frame=cb)
+        return run_pipelined(
+            slam, it, pipeline_depth=PIPE_DEPTH, on_frame=cb, prof=prof
+        )
 
     # Headline: IO included.
     t0 = time.perf_counter()
-    slam = run_mode_cb(Slam(SlamConfig()), io_iter())
+    slam = run_mode_cb(Slam(SlamConfig()), io_iter(), prof=prof_io)
     wall_io = time.perf_counter() - t0
     fps_io = N_FRAMES / wall_io
 
@@ -142,16 +146,40 @@ def main():
 
     # Device-rate evidence: back-to-back extract+track dispatches with
     # on-device pose threading, one terminal block (no per-frame host sync).
+    #
+    # MEASUREMENT HONESTY (r4 fix): earlier rounds scanned frames 0-99
+    # against the END-of-run snapshot, whose landmarks those frames cannot
+    # see — every step silently took the RANSAC fallback (~5 ms) instead
+    # of the prior-seeded fast branch the production loop rides (~1.4 ms),
+    # understating the chip ~3x. Use the LAST frames (covered by the
+    # final snapshot) seeded with the trajectory pose where the scan
+    # starts, so the measured path is the production path.
     import jax.numpy as jnp
 
-    snap = slam_best._snapshot
     fq = cfg.frontend
-    devs = [jax.device_put(f) for f in frames[:100]]
+    n_dev = min(100, N_FRAMES)
+    devs = [jax.device_put(f) for f in frames[-n_dev:]]
     jax.block_until_ready(devs[-1])
+    start_idx = N_FRAMES - n_dev
+    # Track against the LOCAL SNAPSHOT OF THE KEYFRAME nearest the scan's
+    # start (what the production loop would use there), seeded with the
+    # trajectory pose at the start frame.
+    m = slam_best.map
+    kf_candidates = [
+        k for k in range(m.n_kf)
+        if m.kf_valid[k] and m.kf_frame_idx[k] <= start_idx + 20
+    ]
+    snap_kf = kf_candidates[-1] if kf_candidates else slam_best._last_kf_id
+    snap = m.local_snapshot(snap_kf)
+    seed_R, seed_t = slam_best._prev_R, slam_best._prev_t
+    for fr in slam_best.trajectory:
+        if fr.frame_idx >= start_idx:
+            seed_R, seed_t = fr.R_cw, fr.t_cw
+            break
 
     def device_pass():
-        R = jnp.asarray(slam_best._prev_R)
-        t = jnp.asarray(slam_best._prev_t)
+        R = jnp.asarray(seed_R)
+        t = jnp.asarray(seed_t)
         key = jax.random.PRNGKey(0)
         last = None
         for d in devs:
@@ -186,7 +214,7 @@ def main():
     def scan_pass(n):
         blobs, _, _ = _track_window(
             gstack[:n], snap["desc"], snap["xyz"], snap["valid"],
-            jnp.asarray(slam_best._prev_R), jnp.asarray(slam_best._prev_t),
+            jnp.asarray(seed_R), jnp.asarray(seed_t),
             slam_best.intr, kq[:n],
             fq.match_ratio, fq.max_hamming, cfg.tracking.pnp_threshold_px,
             window=n, max_features=fq.max_features,
@@ -217,59 +245,132 @@ def main():
     from visual_slam_tpu.ops import descriptor_mxu as _dm
     from visual_slam_tpu.ops import match as _match
 
+    # Per-stage DEVICE times via the in-program scan-slope method
+    # (utils.profiling.device_slope_ms): per-dispatch wall timing on this
+    # tunneled backend is dominated by ~0.9 ms dispatch overhead per call,
+    # which made every sub-ms stage read "~1 ms" and overstated nothing so
+    # much as it understated the chip. Each body threads a real data
+    # dependence through its carry so XLA cannot eliminate it. The PnP row
+    # measures the production (prior-seeded, fast-branch) path on
+    # CONSISTENT geometry; pnp_ransac_branch reports the lax.cond fallback
+    # separately.
+    from visual_slam_tpu.utils.profiling import device_slope_ms
+
     stage_ms_dev = {}
     try:
         from functools import partial
 
+        from visual_slam_tpu.ops import pnp as _pnp, projection as _proj
+
         interp = jax.default_backend() != "tpu"
         img0 = jax.device_put(frames[0])
+        eps = jnp.float32(1e-12)
+        tiny = jnp.float32(1e-20)
 
-        def timeit(fn, *args, reps=30):
-            out = fn(*args)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / reps * 1e3
+        def det_body(c):
+            g = _fe.to_gray(img0) + c * eps
+            peaks, blur = _dk.corner_peaks_and_blur_pallas(
+                g, nms_radius=fq.nms_radius, interpret=interp)
+            return jnp.sum(blur) * tiny + c
 
-        f_det = jax.jit(lambda im: _dk.corner_peaks_and_blur_pallas(
-            _fe.to_gray(im), nms_radius=fq.nms_radius, interpret=interp))
-        stage_ms_dev["detect_blur"] = timeit(f_det, img0)
-        peaks, blurred = f_det(img0)
-        f_top = jax.jit(lambda p: _fe._topk_select(p, fq.max_features, fq.quality_level))
-        stage_ms_dev["topk"] = timeit(f_top, peaks)
-        uv0, _, _ = f_top(peaks)
-        f_win = jax.jit(lambda b, u: _pk.extract_windows(b, u, interpret=interp))
-        stage_ms_dev["windows"] = timeit(f_win, blurred, uv0)
-        windows, ry, rx = f_win(blurred, uv0)
-        f_cut = jax.jit(_pk.cut_patches)
-        stage_ms_dev["cut_patches"] = timeit(f_cut, windows, ry, rx)
-        patches = f_cut(windows, ry, rx)
-        flat0 = patches.reshape(fq.max_features, -1)
-        f_or = jax.jit(_dm.orientation_from_patches)
-        stage_ms_dev["orientation"] = timeit(f_or, flat0)
-        theta0 = f_or(flat0)
-        f_desc = jax.jit(_dm._sample_and_pack)
-        stage_ms_dev["descriptor"] = timeit(f_desc, flat0, theta0)
-        feats0 = _fe.extract(img0, fq.max_features, fq.quality_level, fq.nms_radius)
-        f_match = jax.jit(partial(
-            _match.match_ratio_test, ratio=fq.match_ratio,
-            max_distance=fq.max_hamming, cross_check=fq.cross_check))
-        stage_ms_dev["match"] = timeit(
-            f_match, snap["desc"], feats0.desc, snap["valid"], feats0.valid)
-        from visual_slam_tpu.ops import pnp as _pnp
+        stage_ms_dev["detect_blur"] = device_slope_ms(det_body, jnp.float32(0))
 
-        f_pnp = jax.jit(partial(
-            _pnp.solve_pnp_tracked,
+        peaks0, blurred0 = _dk.corner_peaks_and_blur_pallas(
+            _fe.to_gray(img0), nms_radius=fq.nms_radius, interpret=interp)
+
+        def topk_body(c):
+            u, s, v = _fe._topk_select(
+                peaks0 + c * eps, fq.max_features, fq.quality_level)
+            return jnp.sum(u) * tiny + c
+
+        stage_ms_dev["topk"] = device_slope_ms(topk_body, jnp.float32(0))
+        uv0, _, _ = _fe._topk_select(peaks0, fq.max_features, fq.quality_level)
+
+        def win_body(c):
+            w, ry, rx = _pk.extract_windows(
+                blurred0 + c * eps, uv0, interpret=interp)
+            return jnp.sum(w[:, 0, 0]) * tiny + c
+
+        stage_ms_dev["windows"] = device_slope_ms(win_body, jnp.float32(0))
+        windows0, ry0, rx0 = _pk.extract_windows(blurred0, uv0, interpret=interp)
+
+        def cut_body(c):
+            p = _pk.cut_patches(windows0 + c * eps, ry0, rx0)
+            return jnp.sum(p[:, 0, 0]) * tiny + c
+
+        stage_ms_dev["cut_patches"] = device_slope_ms(cut_body, jnp.float32(0))
+        patches0 = _pk.cut_patches(windows0, ry0, rx0)
+        flat0 = patches0.reshape(fq.max_features, -1)
+
+        def or_body(c):
+            th = _dm.orientation_from_patches(flat0 + c * eps)
+            return jnp.sum(th) * tiny + c
+
+        stage_ms_dev["orientation"] = device_slope_ms(or_body, jnp.float32(0))
+        theta0 = _dm.orientation_from_patches(flat0)
+
+        def desc_body(c):
+            d = _dm._sample_and_pack(flat0 + c * eps, theta0)
+            return jnp.sum(d[:, 0].astype(jnp.float32)) * tiny + c
+
+        stage_ms_dev["descriptor"] = device_slope_ms(desc_body, jnp.float32(0))
+
+        feats0 = _fe.extract(
+            img0, fq.max_features, fq.quality_level, fq.nms_radius)
+
+        def match_body(c):
+            dd = jnp.bitwise_xor(feats0.desc, c.astype(jnp.uint32))
+            idx2, dist, good = _match.match_ratio_test(
+                snap["desc"], dd, snap["valid"], feats0.valid,
+                ratio=fq.match_ratio, max_distance=fq.max_hamming,
+                cross_check=fq.cross_check)
+            return jnp.sum(dist) * tiny + c
+
+        stage_ms_dev["match"] = device_slope_ms(match_body, jnp.float32(0))
+
+        # PnP on consistent synthetic geometry (prior-seeded fast branch —
+        # the production path; a mismatched snapshot silently measures the
+        # ~5 ms RANSAC fallback instead, which is reported separately).
+        Mcap = int(snap["valid"].shape[0])
+        rngp = np.random.default_rng(0)
+        Xs = rngp.uniform(-2, 2, (Mcap, 3)).astype(np.float32)
+        Xs[:, 2] = rngp.uniform(2, 8, Mcap)
+        Xs_d = jnp.asarray(Xs)
+        uvp, _z = _proj.project(
+            jnp.eye(3), jnp.zeros(3), Xs_d, slam_best.intr)
+        uv_n = uvp + jnp.asarray(
+            rngp.normal(0, 0.5, (Mcap, 2)).astype(np.float32))
+        mask_all = jnp.ones(Mcap, bool)
+        keyp = jax.random.PRNGKey(0)
+        pnp_kw = dict(
             n_hyps=cfg.tracking.pnp_hypotheses,
             threshold_px=cfg.tracking.pnp_threshold_px,
-            refine_iters=cfg.tracking.refine_iters))
-        idx2m, _, goodm = f_match(
-            snap["desc"], feats0.desc, snap["valid"], feats0.valid)
-        stage_ms_dev["pnp"] = timeit(
-            f_pnp, jax.random.PRNGKey(0), snap["xyz"], feats0.uv[idx2m],
-            slam_best.intr, goodm, jnp.eye(3), jnp.zeros(3))
+            refine_iters=cfg.tracking.refine_iters,
+        )
+
+        def pnp_body(c):
+            R, t = c
+            R2, t2, inl, n = _pnp.solve_pnp_tracked(
+                keyp, Xs_d, uv_n, slam_best.intr, mask_all, R, t, **pnp_kw)
+            return (R2, t2)
+
+        stage_ms_dev["pnp"] = device_slope_ms(
+            pnp_body, (jnp.eye(3), jnp.zeros(3)), n1=8, n2=64)
+
+        import scipy.spatial.transform as _st
+
+        R_bad = jnp.asarray(_st.Rotation.from_euler(
+            "xyz", [40, 40, 0], degrees=True).as_matrix().astype(np.float32))
+
+        def pnp_bad_body(c):
+            R, t = c
+            R2, t2, inl, n = _pnp.solve_pnp_tracked(
+                keyp, Xs_d, uv_n, slam_best.intr, mask_all,
+                R_bad + R * 0, jnp.ones(3) + t * 0, **pnp_kw)
+            return (R2 * 0 + R_bad, t2 * 0)
+
+        stage_ms_dev["pnp_ransac_branch"] = device_slope_ms(
+            pnp_bad_body, (jnp.eye(3), jnp.zeros(3)), n1=4, n2=16)
     except Exception:
         pass
 
@@ -310,10 +411,22 @@ def main():
         k: {kk: vv for kk, vv in v.items() if kk != "note"}
         for k, v in roof.items()
     }
+    if "pnp_ransac_branch" in stage_ms_dev:
+        # The lax.cond fallback's cost, for the record (production takes
+        # the prior-seeded fast branch; the roofline "pnp" row is that).
+        extra["pnp_ransac_branch_ms"] = round(
+            stage_ms_dev["pnp_ransac_branch"], 3
+        )
     # Init/tracking phase split (VERDICT r3 next #8): the monocular init
     # search genuinely cannot accept before ~30 px of median flow
     # (validFraction physics — see BASELINE.md), so report its cost
     # instead of hiding it in the headline.
+    if prof_io:
+        # Host-loop phase breakdown of the headline run (ms per frame):
+        # where the wall time between device rate and end-to-end goes.
+        extra["pipeline_prof_ms_per_frame"] = {
+            k: round(v / N_FRAMES * 1e3, 3) for k, v in sorted(prof_io.items())
+        }
     if "init_wall_s" in slam.stats:  # the headline (IO) run's phases
         init_s = slam.stats["init_wall_s"]
         init_f = slam.stats.get("init_frame") or 0

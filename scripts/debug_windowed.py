@@ -38,6 +38,8 @@ def main():
     cfg = size_config_for(n_frames)
     if os.environ.get("VSLAM_NO_LOOP"):
         cfg.loop.enabled = False
+    if os.environ.get("VSLAM_REFINE_ITERS"):
+        cfg.tracking.refine_iters = int(os.environ["VSLAM_REFINE_ITERS"])
     if os.environ.get("VSLAM_XLA_FRONTEND"):
         from visual_slam_tpu.models import frontend
 

@@ -340,7 +340,10 @@ def _init_scan_window(
     return scal  # (W, 2)
 
 
-@partial(jax.jit, static_argnames=("n_hyps", "model_selection", "cross_check"))
+@partial(
+    jax.jit,
+    static_argnames=("n_hyps", "model_selection", "cross_check", "min_flow_px"),
+)
 def _init_step(
     f0_desc,
     f0_uv,
@@ -357,6 +360,7 @@ def _init_step(
     n_hyps: int,
     model_selection: bool = False,
     cross_check: bool = True,
+    min_flow_px: float = 0.0,
 ):
     """Two-view initialization attempt as ONE jitted computation.
 
@@ -365,6 +369,15 @@ def _init_step(
     evaluated by the host on the returned scalars. Keeping this fused in a
     single jit matters doubly on this backend: eager per-op dispatch through
     the TPU tunnel costs ~0.3 ms/op and the init body is hundreds of ops.
+
+    min_flow_px > 0 puts the expensive geometry (the n_hyps-hypothesis
+    essential RANSAC + cheirality recovery) under lax.cond on the median
+    match flow: below the floor the validFraction accept gate is
+    physically unreachable (measured on lr traj3: validFraction 0.36 at
+    ~87 px median flow; the gate needs 0.9), so the ~60 near-static frames
+    the init search must sit through cost one descriptor match each
+    instead of a full RANSAC (VERDICT r3 next #8 — the init phase was a
+    silent third of the 200-frame bench).
     """
     idx2, dist, good = match.match_ratio_test(
         f0_desc, f1_desc, f0_valid, f1_valid, ratio=ratio,
@@ -372,18 +385,44 @@ def _init_step(
     )
     uv1 = f0_uv
     uv2 = f1_uv[idx2]
-    if model_selection:
-        # Homography-vs-essential selection (v1 slam_test.py:207-218).
-        R, t, X1, cheir, frac, _ = twoview.estimate_relative_pose_auto(
-            key, uv1, uv2, intr, good, distance_thresh=distance_thresh
+    flow = uv2 - uv1
+    mag = jnp.sqrt(jnp.sum(flow * flow, axis=-1) + 1e-12)
+    mag_sorted = jnp.sort(jnp.where(good, mag, jnp.inf))
+    nm = jnp.maximum(jnp.sum(good), 1)
+    flow_med = mag_sorted[(nm - 1) // 2]
+
+    def heavy(_):
+        if model_selection:
+            # Homography-vs-essential selection (v1 slam_test.py:207-218).
+            R, t, X1, cheir, frac, _ = twoview.estimate_relative_pose_auto(
+                key, uv1, uv2, intr, good, distance_thresh=distance_thresh
+            )
+        else:
+            E, inl, n_in = twoview.estimate_essential_ransac(
+                key, uv1, uv2, intr, good, threshold=ess_threshold,
+                n_hyps=n_hyps,
+            )
+            R, t, X1, cheir, frac = twoview.estimate_relative_pose(
+                E, uv1, uv2, intr, inl, distance_thresh
+            )
+        return R, t, X1, cheir, frac
+
+    def trivial(_):
+        K = uv1.shape[0]
+        return (
+            jnp.eye(3, dtype=uv1.dtype),
+            jnp.zeros(3, uv1.dtype),
+            jnp.zeros((K, 3), uv1.dtype),
+            jnp.zeros(K, bool),
+            jnp.float32(-1.0),  # frac = -1 marks "skipped by flow floor"
+        )
+
+    if min_flow_px > 0:
+        R, t, X1, cheir, frac = jax.lax.cond(
+            flow_med >= min_flow_px, heavy, trivial, None
         )
     else:
-        E, inl, n_in = twoview.estimate_essential_ransac(
-            key, uv1, uv2, intr, good, threshold=ess_threshold, n_hyps=n_hyps
-        )
-        R, t, X1, cheir, frac = twoview.estimate_relative_pose(
-            E, uv1, uv2, intr, inl, distance_thresh
-        )
+        R, t, X1, cheir, frac = heavy(None)
     n_matches = jnp.sum(good)
     # Median triangulation parallax of the cheirality-good points (degrees).
     # A low-parallax pair can pass the validFraction gate by luck of the
@@ -718,6 +757,7 @@ class Slam:
             n_hyps=cfg.twoview.ransac_hypotheses,
             model_selection=cfg.twoview.use_model_selection,
             cross_check=cfg.frontend.cross_check,
+            min_flow_px=cfg.twoview.min_flow_px,
         )
         _fetch_async(blob)  # ONE async copy per init attempt
         return dict(frame_idx=frame_idx, feats=feats, blob=blob)

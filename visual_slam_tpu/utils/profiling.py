@@ -44,6 +44,40 @@ class StageTimers:
         return units / t if t > 0 else 0.0
 
 
+def device_slope_ms(body, carry0, n1: int = 16, n2: int = 128,
+                    reps: int = 3) -> float:
+    """Per-iteration DEVICE time of `body` (carry -> carry), measured as
+    the wall-time slope between two in-program lax.scan lengths.
+
+    This is the only timing method that survives this environment's
+    tunneled TPU: per-dispatch wall timing is dominated by ~0.9 ms of
+    dispatch/queue overhead per call (sub-ms stages all measure "~1 ms"),
+    while the slope between two scan lengths of the SAME program cancels
+    dispatch, transfer, and fetch costs exactly. `body` must thread its
+    carry through the computation (a real data dependence), or XLA
+    dead-code-eliminates the loop body and the slope measures nothing.
+    """
+    import jax
+
+    def run(n):
+        f = jax.jit(
+            lambda c: jax.lax.scan(
+                lambda c, _: (body(c), None), c, None, length=n
+            )[0]
+        )
+        out = f(carry0)
+        jax.block_until_ready(out)  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(carry0)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max((run(n2) - run(n1)) / (n2 - n1) * 1e3, 0.0)
+
+
 @contextlib.contextmanager
 def xla_trace(log_dir: str):
     """jax.profiler trace region (open in TensorBoard / xprof)."""
