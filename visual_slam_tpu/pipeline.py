@@ -682,6 +682,23 @@ class Slam:
         self._pose_dev = None  # device-side pose chain (see _dispatch_track)
         self._frames_since_kf = 0
         self._snap_epoch = 0  # bumped when keyframe insertion remaps the snapshot
+        # Confirmation-veto cache: a stale-handle keyframe candidate is
+        # re-tracked against the CURRENT map (one ~40 ms sync); when the
+        # fresh rule vetoes it, the other IN-FLIGHT frames with stale
+        # handles would re-confirm against the same state and re-veto
+        # (measured: 163 vetoes / 600 frames = ~11 ms/frame of sync — the
+        # single largest host cost). The cache suppresses re-confirms only
+        # while BOTH hold: the confirmable state is unchanged (token — no
+        # keyframe/mine/BA/loop since the veto) AND the candidate is
+        # within a few frames of the vetoed one. The time bound is
+        # LOAD-BEARING: the map decays as the camera moves, so a veto at
+        # frame N says nothing about frame N+6 — an unbounded cache
+        # measured ATE 0.0549 -> 0.374 on the full sequence (keyframes
+        # suppressed exactly where tracking needed them).
+        self._state_token = 0
+        self._last_veto_token = -1
+        self._last_veto_frame = -(10**9)
+        self._veto_cache_frames = 3
         self._pending_ba = None  # (out, diag, bad, kf_id, scale_gauge)
         self._pending_mine = None  # deferred landmark-mining handle (dict)
         # loop closure state
@@ -768,7 +785,10 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats = h["frame_idx"], h["feats"]
         f0 = self._init_feats
-        row = np.asarray(h["blob"])  # ONE fetch: gates + full accept data
+        # ONE fetch: gates + full accept data. _fetch_now (spin-then-read)
+        # rather than a bare np.asarray: the blocking read's completion-
+        # poll backoff costs ~10-40 ms even for long-landed results.
+        (row,) = _fetch_now(h["blob"])
         K = int(self.cfg.frontend.max_features)
         scalars_np, R1, t1, idx2_np, good_np, X_np, feats_host = (
             _unpack_init_blob(row, K)
@@ -998,7 +1018,11 @@ class Slam:
         cfg = self.cfg
         frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
         snap = h["snap"]
-        blob_np = np.asarray(h["blob"])
+        # Spin-then-read (see _fetch_now): a bare np.asarray pays the
+        # blocking path's completion-poll backoff — measured 9-17 ms per
+        # frame on the headline run even though the async copy had landed.
+        with self.timers.time("track_fetch"):
+            (blob_np,) = _fetch_now(h["blob"])
         R = blob_np[:9].reshape(3, 3)
         t = blob_np[9:12]
         n_tracked = int(blob_np[12])
@@ -1032,19 +1056,33 @@ class Slam:
             h.get("snap_epoch", self._snap_epoch) != self._snap_epoch
             or h.get("mine_pending", False)
         ):
-            blob_np, snap = self._retrack_candidate(feats, R_np, t_np)
-            n2 = int(blob_np[12])
-            if self._keyframe_rule(n2, snap["n_valid"]):
-                R_np = blob_np[:9].reshape(3, 3).copy()
-                t_np = blob_np[9:12].copy()
-                self._prev_R, self._prev_t = R_np, t_np
-                n_tracked = n2
-                self.stats["kf_retracked"] = self.stats.get("kf_retracked", 0) + 1
-            else:
+            if (
+                self._last_veto_token == self._state_token
+                and frame_idx - self._last_veto_frame <= self._veto_cache_frames
+            ):
+                # A candidate a frame or two ago was already confirm-vetoed
+                # against this exact map state; skip the sync (see
+                # _state_token note — the time bound is load-bearing).
                 is_kf = False
-                self.stats["kf_vetoed_stale"] = (
-                    self.stats.get("kf_vetoed_stale", 0) + 1
+                self.stats["kf_veto_cached"] = (
+                    self.stats.get("kf_veto_cached", 0) + 1
                 )
+            else:
+                blob_np, snap = self._retrack_candidate(feats, R_np, t_np)
+                n2 = int(blob_np[12])
+                if self._keyframe_rule(n2, snap["n_valid"]):
+                    R_np = blob_np[:9].reshape(3, 3).copy()
+                    t_np = blob_np[9:12].copy()
+                    self._prev_R, self._prev_t = R_np, t_np
+                    n_tracked = n2
+                    self.stats["kf_retracked"] = self.stats.get("kf_retracked", 0) + 1
+                else:
+                    is_kf = False
+                    self._last_veto_token = self._state_token
+                    self._last_veto_frame = frame_idx
+                    self.stats["kf_vetoed_stale"] = (
+                        self.stats.get("kf_vetoed_stale", 0) + 1
+                    )
         if is_kf:
             M = int(snap["valid"].shape[0])
             K = int(feats.uv.shape[0])
@@ -1328,6 +1366,7 @@ class Slam:
             # snapshot must not be clobbered with the older local map).
             if self._last_kf_id == kf_id:
                 self._snapshot = self.map.local_snapshot(kf_id)
+            self._state_token += 1  # confirmable state changed (see init)
         if dispatch_ba:
             # Legacy ride-along (kept for callers that need BA right after
             # the mine); production dispatches the keyframe BA at INSERTION
@@ -1521,6 +1560,7 @@ class Slam:
         # after each BA apply, halving the keyframe count in pipelined runs.
         if self._last_kf_id is not None:
             self._snapshot = self.map.local_snapshot(self._last_kf_id)
+        self._state_token += 1  # confirmable state changed (see init)
 
     def _run_full_ba(self, scale_gauge: bool):
         """Synchronous BA (init path): dispatch + immediate apply."""
@@ -1539,6 +1579,7 @@ class Slam:
         self._last_kf_feats = feats
         self._last_kf_mapped = mapped
         self._snap_epoch += 1
+        self._state_token += 1
         self._snapshot = self.map.local_snapshot(kf_id)
         self._prev_R = self.map.kf_R[kf_id].copy()
         self._prev_t = self.map.kf_t[kf_id].copy()
@@ -1604,7 +1645,7 @@ class Slam:
         if self._pending_loop_verify is not None:
             return  # one verification in flight at a time (cooldown-rare)
         cfg = self.cfg.loop
-        scores = np.asarray(scores_dev)
+        (scores,) = _fetch_now(scores_dev)
         cand = lc_mod.find_candidate(scores, kf_id, cfg)
         if cand is None:
             return
@@ -1796,6 +1837,7 @@ class Slam:
         anchor = self._last_kf_id if self._last_kf_id is not None else kf_id
         self._snapshot = self.map.local_snapshot(anchor)
         self._snap_epoch += 1
+        self._state_token += 1
         self._prev_R = self.map.kf_R[anchor].copy()
         self._prev_t = self.map.kf_t[anchor].copy()
         self._pose_dev = None
@@ -1981,6 +2023,14 @@ def run_pipelined(
     pending: deque = deque()
     init_pending: deque = deque()
     depth_cap = pipeline_depth
+    # Init attempts pipeline MUCH deeper than tracking: each consume's
+    # blob fetch costs a full tunnel round trip (~25-40 ms) unless the
+    # async copy has landed, and init dispatches are ~1 ms apart (the flow
+    # gate makes most attempts one descriptor match), so hiding the
+    # latency needs latency/cadence ~= 40 attempts in flight — depth 12
+    # measured consume_init at 8 ms/frame, i.e. still fetch-bound. Each
+    # in-flight attempt is one ~65 KB blob + one feature set.
+    init_cap = max(depth_cap, 40)
 
     def tick(key, t0):
         if prof is not None:
@@ -1990,7 +2040,10 @@ def run_pipelined(
         """On init acceptance, convert the in-flight init attempts (frames
         NEWER than the accepted pair) into tracking dispatches — their
         features are already on device, and dropping them would leave a
-        pipeline_depth-sized hole in the trajectory."""
+        pipeline-depth-sized hole in the trajectory. Then consume down to
+        the tracking depth: the init pipeline is much deeper (init_cap),
+        and leaving its backlog in `pending` would lag every keyframe
+        decision by init_cap frames for the rest of the run."""
         leftover = list(init_pending)
         init_pending.clear()
         for h2 in leftover:
@@ -2000,6 +2053,8 @@ def run_pipelined(
                     h2["frame_idx"], h2["feats"], h2.get("depth")
                 )
             )
+        while len(pending) > depth_cap:
+            slam._consume_track(pending.popleft())
 
     def dispatch(i, feats, depth):
         if not slam.initialized:
@@ -2018,7 +2073,7 @@ def run_pipelined(
                 init_pending.append(h)
             tick("dispatch_init", t0)
             t0 = _time.perf_counter()
-            while len(init_pending) > depth_cap:
+            while len(init_pending) > init_cap:
                 if slam._consume_init(init_pending.popleft()):
                     drain_init_to_tracking()
                     break
