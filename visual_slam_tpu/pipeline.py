@@ -779,16 +779,20 @@ class Slam:
         _fetch_async(blob)  # ONE async copy per init attempt
         return dict(frame_idx=frame_idx, feats=feats, blob=blob)
 
-    def _consume_init(self, h) -> bool:
+    def _consume_init(self, h, row=None) -> bool:
         """Gate + (on acceptance) build the initial map from a dispatched
-        init attempt. Returns True when the system becomes initialized."""
+        init attempt. Returns True when the system becomes initialized.
+        `row`: optionally the already-fetched blob (chunk-stacked fetch
+        in run_pipelined — one round trip per chunk, not per attempt)."""
         cfg = self.cfg
         frame_idx, feats = h["frame_idx"], h["feats"]
         f0 = self._init_feats
-        # ONE fetch: gates + full accept data. _fetch_now (spin-then-read)
-        # rather than a bare np.asarray: the blocking read's completion-
-        # poll backoff costs ~10-40 ms even for long-landed results.
-        (row,) = _fetch_now(h["blob"])
+        if row is None:
+            # ONE fetch: gates + full accept data. _fetch_now (spin-then-
+            # read) rather than a bare np.asarray: the blocking read's
+            # completion-poll backoff costs ~10-40 ms even for long-landed
+            # results.
+            (row,) = _fetch_now(h["blob"])
         K = int(self.cfg.frontend.max_features)
         scalars_np, R1, t1, idx2_np, good_np, X_np, feats_host = (
             _unpack_init_blob(row, K)
@@ -1012,17 +1016,18 @@ class Slam:
             self._prev_R, self._prev_t = R_np, t_np
         return ok, R_np, t_np, n
 
-    def _consume_track(self, h):
+    def _consume_track(self, h, blob_np=None):
         """Fetch a dispatched tracking step and run the host-side frame logic
         (pose bookkeeping, keyframe rule, keyframe insertion)."""
         cfg = self.cfg
         frame_idx, feats, depth = h["frame_idx"], h["feats"], h["depth"]
         snap = h["snap"]
-        # Spin-then-read (see _fetch_now): a bare np.asarray pays the
-        # blocking path's completion-poll backoff — measured 9-17 ms per
-        # frame on the headline run even though the async copy had landed.
-        with self.timers.time("track_fetch"):
-            (blob_np,) = _fetch_now(h["blob"])
+        if blob_np is None:
+            # Spin-then-read (see _fetch_now): a bare np.asarray pays the
+            # blocking path's completion-poll backoff even for a landed
+            # result.
+            with self.timers.time("track_fetch"):
+                (blob_np,) = _fetch_now(h["blob"])
         R = blob_np[:9].reshape(3, 3)
         t = blob_np[9:12]
         n_tracked = int(blob_np[12])
@@ -2020,9 +2025,37 @@ def run_pipelined(
     from collections import deque
 
     cfg = slam.cfg
-    pending: deque = deque()
     init_pending: deque = deque()
     depth_cap = pipeline_depth
+    # Tracking consumes are CHUNKED: each chunk's blobs are jnp.stack'd
+    # into ONE device array whose async copy starts a chunk ahead, and the
+    # chunk lands with ONE fetch. Separate per-frame fetches each pay a
+    # full tunnel round trip even when flushed together (measured: a
+    # 4-blob grouped flush cost 4x one blob's round trip — only a single
+    # CONCATENATED array amortizes, the same finding as the r1 blob
+    # design). Frames in flight = chunk_depth*consume_chunk + partial.
+    consume_chunk = 8
+    chunk_depth = max(1, depth_cap // consume_chunk)
+    cur: list = []  # dispatched handles awaiting stacking
+    chunks: deque = deque()  # {stacked (C,TOT) device array, handles}
+
+    def land_chunk(c):
+        with slam.timers.time("track_fetch"):
+            (rows,) = _fetch_now(c["stacked"])
+        for h2, row in zip(c["handles"], rows):
+            slam._consume_track(h2, row)
+
+    def push_track_handle(h):
+        cur.append(h)
+        if len(cur) == consume_chunk:
+            stacked = jnp.stack([h2["blob"] for h2 in cur])
+            _fetch_async(stacked)
+            chunks.append(dict(stacked=stacked, handles=cur.copy()))
+            cur.clear()
+
+    def drain_tracking(target_chunks):
+        while len(chunks) > target_chunks:
+            land_chunk(chunks.popleft())
     # Init attempts pipeline MUCH deeper than tracking: each consume's
     # blob fetch costs a full tunnel round trip (~25-40 ms) unless the
     # async copy has landed, and init dispatches are ~1 ms apart (the flow
@@ -2031,6 +2064,8 @@ def run_pipelined(
     # measured consume_init at 8 ms/frame, i.e. still fetch-bound. Each
     # in-flight attempt is one ~65 KB blob + one feature set.
     init_cap = max(depth_cap, 40)
+    init_prepared: list = []  # at most one pre-stacked init chunk in flight
+    consume_chunk = 4  # frames per grouped consume flush (see below)
 
     def tick(key, t0):
         if prof is not None:
@@ -2048,13 +2083,12 @@ def run_pipelined(
         init_pending.clear()
         for h2 in leftover:
             slam._apply_pending_ba()
-            pending.append(
+            push_track_handle(
                 slam._dispatch_track(
                     h2["frame_idx"], h2["feats"], h2.get("depth")
                 )
             )
-        while len(pending) > depth_cap:
-            slam._consume_track(pending.popleft())
+        drain_tracking(chunk_depth)
 
     def dispatch(i, feats, depth):
         if not slam.initialized:
@@ -2073,10 +2107,29 @@ def run_pipelined(
                 init_pending.append(h)
             tick("dispatch_init", t0)
             t0 = _time.perf_counter()
-            while len(init_pending) > init_cap:
-                if slam._consume_init(init_pending.popleft()):
-                    drain_init_to_tracking()
-                    break
+            # Chunked init consume with one-frame prepare-ahead: the
+            # chunk's blobs stack into ONE array (separate arrays do not
+            # amortize) whose async copy gets a frame of head start
+            # before the fetch.
+            if init_prepared:
+                stacked, head = init_prepared.pop()
+                (rows,) = _fetch_now(stacked)
+                for r, h2 in enumerate(head):
+                    if slam.initialized:
+                        # Frames after the accepted pair become tracking
+                        # dispatches (their features are on device).
+                        slam._apply_pending_ba()
+                        push_track_handle(slam._dispatch_track(
+                            h2["frame_idx"], h2["feats"], h2.get("depth")
+                        ))
+                    elif slam._consume_init(h2, rows[r]):
+                        drain_init_to_tracking()
+            if not init_prepared and len(init_pending) > init_cap:
+                k = min(consume_chunk, len(init_pending))
+                head = [init_pending.popleft() for _ in range(k)]
+                stacked = jnp.stack([h2["blob"] for h2 in head])
+                _fetch_async(stacked)
+                init_prepared.append((stacked, head))
             tick("consume_init", t0)
         else:
             init_pending.clear()  # drop superseded init attempts
@@ -2084,11 +2137,13 @@ def run_pipelined(
             slam._apply_pending_ba()
             tick("apply_ba", t0)
             t0 = _time.perf_counter()
-            pending.append(slam._dispatch_track(i, feats, depth))
+            push_track_handle(slam._dispatch_track(i, feats, depth))
             tick("dispatch_track", t0)
             t0 = _time.perf_counter()
-            if len(pending) > depth_cap:
-                slam._consume_track(pending.popleft())
+            # Land the oldest chunk once chunk_depth newer ones are in
+            # flight; keyframe decisions lag <= (chunk_depth+1)*chunk
+            # frames, which the stale-candidate re-track path absorbs.
+            drain_tracking(chunk_depth)
             tick("consume_track", t0)
 
     def extract_dev(img_dev):
@@ -2132,12 +2187,27 @@ def run_pipelined(
             # feed, viewer.py:21-35). Map state lags ~pipeline_depth frames.
             on_frame(slam, i)
     flush_block()
-    while init_pending:
+    for stacked, head in init_prepared:
+        (rows,) = _fetch_now(stacked)
+        for r, h2 in enumerate(head):
+            if slam.initialized:
+                slam._apply_pending_ba()
+                push_track_handle(slam._dispatch_track(
+                    h2["frame_idx"], h2["feats"], h2.get("depth")
+                ))
+            elif slam._consume_init(h2, rows[r]):
+                drain_init_to_tracking()
+    init_prepared.clear()
+    while init_pending and not slam.initialized:
         if slam._consume_init(init_pending.popleft()):
             drain_init_to_tracking()
             break
-    while pending:
-        slam._consume_track(pending.popleft())
+    if cur:  # stack & land the trailing partial chunk too
+        stacked = jnp.stack([h2["blob"] for h2 in cur])
+        _fetch_async(stacked)
+        chunks.append(dict(stacked=stacked, handles=cur.copy()))
+        cur.clear()
+    drain_tracking(0)
     # Apply the BA dispatched at the final keyframe — nothing after the
     # stream end would otherwise force it, discarding the last keyframe's
     # optimization and observation pruning.
