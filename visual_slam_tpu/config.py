@@ -43,12 +43,14 @@ class TwoViewConfig:
 class TrackingConfig:
     pnp_hypotheses: int = 128  # extrinsic-guess hypothesis carries tracking; 128 random seeds suffice
     pnp_threshold_px: float = 8.0  # cv2.solvePnPRansac default reprojectionError
-    # Gauss-Newton iterations per refine round; the tiered PnP runs TWO
-    # re-gated rounds, so 5 ≈ the reference's 10 motion-only LM iterations
-    # (LocalBA.py:39). Measured (600-frame TPU mono A/B): ATE 0.0353 at 5
-    # vs 0.0367 at 10 — identical within noise at ~0.6 ms/frame less
-    # device time (the GN scan is small-op latency-bound).
-    refine_iters: int = 5
+    # Gauss-Newton iterations per refine round (the tiered PnP runs TWO
+    # re-gated rounds). 10 ≙ the reference's motion-only LM iterations
+    # (LocalBA.py:39). DO NOT lower to save the ~0.6 ms/frame: a 600-frame
+    # A/B showed parity (ATE 0.0353 at 5 vs 0.0367 at 10), but the
+    # under-converged per-frame poses compound into monocular scale drift
+    # that only shows at full length — 1200-frame no-loop ATE 0.048 at 10
+    # vs 0.595 at 5, with the measured map scale exploding past 3x.
+    refine_iters: int = 10
     min_tracked_points: int = 10  # hard floor to accept a pose
 
 

@@ -1796,6 +1796,7 @@ class Slam:
             ))
         else:
             s_m = 1.0
+        self._loop_edges_last_ls = np.log(s_m)
         self._loop_edges.append((cand, kf_id, Z_R, Z_t, np.log(s_m)))
         # Pose-graph correction + landmark re-anchoring — VALIDATED: a
         # false-positive closure that survives the inlier vote (30+ lucky
@@ -1827,6 +1828,12 @@ class Slam:
             self._loop_edges.pop()
             self.stats["loop_rejected_warp"] = (
                 self.stats.get("loop_rejected_warp", 0) + 1
+            )
+            self.stats.setdefault("loop_rejected_detail", []).append(
+                dict(kf=int(kf_id), cand=int(cand), n_inl=int(n_inl),
+                     blown_before=round(blown0, 4),
+                     blown_after=round(blown1, 4),
+                     log_s_m=round(float(self._loop_edges_last_ls), 4))
             )
             return
         if len(sel):
@@ -1878,9 +1885,11 @@ class Slam:
             w[n] = self.cfg.loop.edge_weight
         return e_i, e_j, Z_R, Z_t, Z_ls, w
 
-    def _build_pose_graph(self):
-        """SE3 keyframe chain + scale edges + accumulated loop edges (the
-        metric/RGB-D pose graph; monocular uses _build_sim3_graph)."""
+    def _build_pose_graph(self, include_loops: bool = True):
+        """SE3 keyframe chain + scale edges (+ accumulated loop edges).
+        The scale edges carry INSERTION-TIME relative-translation norms
+        (kf_scale_meas ≙ AddScalingEdge, LocalBA.py:115-131) — the
+        drift-limiting anchors the monocular final pass depends on."""
         pg = pose_graph_mod()
         g = pg.from_keyframe_chain(
             jnp.asarray(self.map.kf_R),
@@ -1889,7 +1898,7 @@ class Slam:
             scale_meas=jnp.asarray(self.map.kf_scale_meas[1:]),
         )
         edges = self._padded_loop_edges()
-        if edges is None:
+        if edges is None or not include_loops:
             return g
         e_i, e_j, Z_R, Z_t, _, w = edges
         return pg.add_edges(g, e_i, e_j, Z_R, Z_t, w)
@@ -1910,15 +1919,43 @@ class Slam:
         e_i, e_j, Z_R, Z_t, Z_ls, w = edges
         return pg.sim3_add_edges(g, e_i, e_j, Z_R, Z_t, Z_ls, w)
 
-    def _optimize_pose_graph_arrays(self, n_iters: int):
-        """Run the appropriate pose graph (Sim3 for monocular, SE3+scale
-        edges for metric/RGB-D). Returns host arrays (R, t, s|None)."""
+    def _optimize_pose_graph_arrays(self, n_iters: int, final: bool = False):
+        """Run the appropriate pose graph. Returns host arrays (R, t,
+        s|None).
+
+        Metric/RGB-D: SE3 chain + scale edges + loop edges.
+
+        Monocular at a LOOP CLOSURE (final=False): the Sim3 graph — the
+        only correction that survives scale drift (see pose_graph Sim3
+        notes).
+
+        Monocular FINAL pass (final=True): SE3 chain + scale edges
+        WITHOUT loop edges FIRST. The scale edges carry insertion-time
+        ||t_rel|| anchors that limit the gauge wander BA accumulates over
+        hundreds of keyframes — dropping this pass (the round-4 Sim3
+        switch briefly did: a no-loop Sim3 chain graph is measured from
+        current poses and is a NO-OP) let the full-sequence raw scale
+        drift explode to >3x and ATE to 0.58. Any accumulated loop edges
+        then get a Sim3 polish on top (they were already applied in-run;
+        this re-asserts them against the smoothed chain).
+        """
         pg = pose_graph_mod()
         use_dcs = bool(self._loop_edges)
         if self.cfg.use_depth:
             g = self._build_pose_graph()
             R, t, _ = pg.optimize(g, n_iters=n_iters, use_dcs=use_dcs)
             return np.asarray(R), np.asarray(t), None
+        if final:
+            g = self._build_pose_graph(include_loops=False)
+            R, t, _ = pg.optimize(g, n_iters=n_iters, use_dcs=False)
+            if not self._loop_edges:
+                return np.asarray(R), np.asarray(t), None
+            # Apply the smoothing, then polish with the Sim3 loop graph.
+            old_R, old_t = self.map.kf_R.copy(), self.map.kf_t.copy()
+            lc_mod.apply_pose_graph_correction(
+                self.map, np.asarray(R), np.asarray(t)
+            )
+            self._rewrite_keyframe_trajectory(old_R=old_R, old_t=old_t)
         g = self._build_sim3_graph()
         R, t, lam, _ = pg.optimize_sim3(g, n_iters=n_iters, use_dcs=use_dcs)
         s = np.exp(np.asarray(lam)).astype(np.float32)
@@ -1974,7 +2011,7 @@ class Slam:
         # else still in flight.
         self._apply_pending_mine(force=True, dispatch_ba=True)
         self._apply_pending_ba(force=True)
-        R, t, s = self._optimize_pose_graph_arrays(n_iters)
+        R, t, s = self._optimize_pose_graph_arrays(n_iters, final=True)
         old_R, old_t = self.map.kf_R.copy(), self.map.kf_t.copy()
         lc_mod.apply_pose_graph_correction(self.map, R, t, s)
         self._rewrite_keyframe_trajectory(old_R=old_R, old_t=old_t)
@@ -2034,7 +2071,11 @@ def run_pipelined(
     # 4-blob grouped flush cost 4x one blob's round trip — only a single
     # CONCATENATED array amortizes, the same finding as the r1 blob
     # design). Frames in flight = chunk_depth*consume_chunk + partial.
-    consume_chunk = 8
+    # Chunk of 4: one fetch per 4 frames with a 4-8 frame decision lag —
+    # chunk 8 halved the fetch count again but the 8-16 frame lag broke
+    # full-sequence geometry (1200-frame mono ATE 0.055 -> 0.567, loop
+    # closure never fired). Accuracy outranks tunnel-weather resilience.
+    consume_chunk = 4
     chunk_depth = max(1, depth_cap // consume_chunk)
     cur: list = []  # dispatched handles awaiting stacking
     chunks: deque = deque()  # {stacked (C,TOT) device array, handles}
