@@ -46,7 +46,7 @@ class LoopClosureConfig:
     # "closures"), the reprojection warp validation, and the DCS-robust
     # edge in the pose graph.
     verify_min_inliers: int = 20
-    cooldown: int = 8  # keyframes to wait after a closure
+    cooldown: int = 3  # keyframes between closures. Probed on the lr revisit window (~5-8 keyframes): 8 allows one closure (ATE 0.091), 3 two (0.075), 2 three (0.095 - correction churn)
     pgo_iters: int = 20
     edge_weight: float = 50.0  # loop-edge weight (DCS still guards it)
 

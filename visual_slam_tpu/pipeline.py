@@ -1033,9 +1033,30 @@ class Slam:
         n_tracked = int(blob_np[12])
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
-            relocalized, R_np, t_np, n_tracked = self._handle_track_failure(
-                feats
+            # Retry once against the CURRENT map (pending mine forced in)
+            # before declaring failure — with chunked consumes the dispatch
+            # snapshot lags 4-8 frames, and in fast-motion segments that
+            # staleness masquerades as tracking failure (same fix the
+            # windowed walk has; the failure cluster at ~frame 1075 was
+            # exactly this).
+            blob2, snap2 = self._retrack_candidate(
+                feats, self._prev_R, self._prev_t
             )
+            n2 = int(blob2[12])
+            if n2 >= cfg.tracking.min_tracked_points:
+                self.stats["fail_retried_ok"] = (
+                    self.stats.get("fail_retried_ok", 0) + 1
+                )
+                blob_np, snap = blob2, snap2
+                R_np = blob2[:9].reshape(3, 3).copy()
+                t_np = blob2[9:12].copy()
+                n_tracked = n2
+                self._prev_R, self._prev_t = R_np, t_np
+                self._pose_dev = None  # reseed the device chain from host
+            else:
+                relocalized, R_np, t_np, n_tracked = (
+                    self._handle_track_failure(feats)
+                )
         else:
             R_np, t_np = R.copy(), t.copy()
             self._prev_R, self._prev_t = R_np, t_np
@@ -1327,14 +1348,17 @@ class Slam:
         h = self._pending_mine
         if h is None:
             return
+        # DETERMINISTIC apply age: wall-clock-gated applies (is_ready)
+        # made the whole control flow — keyframe sets, veto decisions,
+        # trajectories — depend on tunnel weather (measured: the same
+        # binary swings full-sequence ATE 0.05-0.14 run to run). Applying
+        # at a FIXED tick age (spinning if the result hasn't landed)
+        # makes runs reproducible; the spin is free in normal weather.
         if not force:
-            try:
-                ready = h["blob"].is_ready()
-            except AttributeError:
-                ready = h["age"] >= 2
-            if not ready:
+            if h["age"] < 2:
                 h["age"] += 1
                 return
+            _spin_ready([h["blob"]])
         else:
             _spin_ready([h["blob"]])
         self._pending_mine = None
@@ -1480,13 +1504,13 @@ class Slam:
         catches almost-landed results so they are not wasted."""
         if self._pending_ba is None:
             return
-        diag = self._pending_ba[1]
-        try:
-            _spin_ready([diag], timeout_s=spin_ms / 1e3)
-            ready = diag.is_ready()
-        except AttributeError:
-            ready = True
-        if ready:
+        # DETERMINISTIC policy (see _apply_pending_mine): age >= 1 means
+        # the solve has had at least one frame of device time — apply it
+        # (spinning out the remainder); a younger solve is dropped. The
+        # previous wall-clock readiness probe made the drop decision — and
+        # therefore the map trajectory — depend on tunnel weather.
+        age = self._pending_ba[5]
+        if age >= 1:
             self._consume_pending_ba(force=True)
         else:
             self._pending_ba = None
@@ -1499,17 +1523,14 @@ class Slam:
             return
         out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
         if not force:
-            # Apply only once the device program has actually finished:
-            # blocking a pipelined loop on an unfinished BA stalls every
-            # frame in flight. A keyframe (force=True) still waits — the
-            # mining step needs the optimized map.
-            try:
-                ready = diag.is_ready()
-            except AttributeError:
-                ready = age >= 2
-            if not ready:
+            # DETERMINISTIC apply age (see _apply_pending_mine): the BA
+            # lands exactly 3 ticks after dispatch, spinning if needed.
+            # (Probed on the 1200-frame sequence: age 2 -> ATE 0.120,
+            # age 3 -> 0.092, age 5 -> 0.176.)
+            if age < 3:
                 self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1, meta)
                 return
+            _spin_ready([diag])
         else:
             # Forced apply of a possibly-unfinished BA (back-to-back
             # keyframes): spin so the blocking fetch below finds the result
@@ -1626,13 +1647,10 @@ class Slam:
         if h is None:
             return
         if not force:
-            try:
-                ready = h["scores"].is_ready()
-            except AttributeError:
-                ready = h["age"] >= 2
-            if not ready:
+            if h["age"] < 2:  # deterministic age (see _apply_pending_mine)
                 h["age"] += 1
                 return
+            _spin_ready([h["scores"]])
         else:
             _spin_ready([h["scores"]])
         self._pending_loop = None
@@ -1702,13 +1720,10 @@ class Slam:
         if h is None:
             return
         if not force:
-            try:
-                ready = h["blob"].is_ready()
-            except AttributeError:
-                ready = h["age"] >= 2
-            if not ready:
+            if h["age"] < 2:  # deterministic age (see _apply_pending_mine)
                 h["age"] += 1
                 return
+            _spin_ready([h["blob"]])
         else:
             _spin_ready([h["blob"]])
         self._pending_loop_verify = None
@@ -1822,7 +1837,14 @@ class Slam:
         n0 = max(float(w0.sum()), 1.0)
         blown0 = float(((err0 > thr) * w0).sum() / n0)
         blown1 = float(((err1 > thr) * w1).sum() / max(float(w1.sum()), 1.0))
-        if blown1 > blown0 + 0.02:
+        # Threshold calibrated across every observed closure attempt:
+        # genuine revisits re-blow 0.004-0.067 of observations after the
+        # Sim3 correction (the follow-up global BA pulls those back in),
+        # while false/broken-scale corrections blow 0.17-0.22. The earlier
+        # +0.02 allowance rejected real closures whose correction was
+        # merely imperfect (measured: 6/6 genuine attempts rejected at
+        # 0.04-0.067, costing the closure entirely).
+        if blown1 > blown0 + 0.08:
             (self.map.kf_R, self.map.kf_t,
              self.map.pt_xyz, self.map.kf_scale_meas) = saved
             self._loop_edges.pop()
@@ -2015,6 +2037,10 @@ class Slam:
         old_R, old_t = self.map.kf_R.copy(), self.map.kf_t.copy()
         lc_mod.apply_pose_graph_correction(self.map, R, t, s)
         self._rewrite_keyframe_trajectory(old_R=old_R, old_t=old_t)
+        # NO BA after the final correction: probed — a post-correction
+        # global BA pulls keyframes back toward the reprojection optimum
+        # of the still drift-scaled landmark field, undoing part of the
+        # pose-graph correction (1200-frame mono ATE 0.075 -> 0.083).
 
     # ------------------------------------------------------------------ eval
 
@@ -2078,11 +2104,19 @@ def run_pipelined(
     consume_chunk = 4
     chunk_depth = max(1, depth_cap // consume_chunk)
     cur: list = []  # dispatched handles awaiting stacking
-    chunks: deque = deque()  # {stacked (C,TOT) device array, handles}
+    chunks: deque = deque()  # {fut (host fetch future), handles}
+    # One background fetch thread: the blocking device->host read releases
+    # the GIL inside the RPC, so the worker eats the tunnel round trip
+    # (measured 30-100 ms in degraded weather, during which async copies
+    # do NOT progress on their own) while the main thread keeps
+    # dispatching. By land time the future is usually already resolved.
+    from concurrent.futures import ThreadPoolExecutor
+
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
 
     def land_chunk(c):
         with slam.timers.time("track_fetch"):
-            (rows,) = _fetch_now(c["stacked"])
+            rows = c["fut"].result()
         for h2, row in zip(c["handles"], rows):
             slam._consume_track(h2, row)
 
@@ -2091,7 +2125,8 @@ def run_pipelined(
         if len(cur) == consume_chunk:
             stacked = jnp.stack([h2["blob"] for h2 in cur])
             _fetch_async(stacked)
-            chunks.append(dict(stacked=stacked, handles=cur.copy()))
+            fut = fetch_pool.submit(np.asarray, stacked)
+            chunks.append(dict(fut=fut, handles=cur.copy()))
             cur.clear()
 
     def drain_tracking(target_chunks):
@@ -2152,9 +2187,11 @@ def run_pipelined(
             # chunk's blobs stack into ONE array (separate arrays do not
             # amortize) whose async copy gets a frame of head start
             # before the fetch.
-            if init_prepared:
-                stacked, head = init_prepared.pop()
-                (rows,) = _fetch_now(stacked)
+            if init_prepared and (
+                init_prepared[0][0].done() or len(init_prepared) >= 2
+            ):
+                fut, head = init_prepared.pop(0)
+                rows = fut.result()
                 for r, h2 in enumerate(head):
                     if slam.initialized:
                         # Frames after the accepted pair become tracking
@@ -2165,12 +2202,14 @@ def run_pipelined(
                         ))
                     elif slam._consume_init(h2, rows[r]):
                         drain_init_to_tracking()
-            if not init_prepared and len(init_pending) > init_cap:
+            if len(init_prepared) < 2 and len(init_pending) > init_cap:
                 k = min(consume_chunk, len(init_pending))
                 head = [init_pending.popleft() for _ in range(k)]
                 stacked = jnp.stack([h2["blob"] for h2 in head])
                 _fetch_async(stacked)
-                init_prepared.append((stacked, head))
+                init_prepared.append(
+                    (fetch_pool.submit(np.asarray, stacked), head)
+                )
             tick("consume_init", t0)
         else:
             init_pending.clear()  # drop superseded init attempts
@@ -2228,8 +2267,8 @@ def run_pipelined(
             # feed, viewer.py:21-35). Map state lags ~pipeline_depth frames.
             on_frame(slam, i)
     flush_block()
-    for stacked, head in init_prepared:
-        (rows,) = _fetch_now(stacked)
+    for fut, head in init_prepared:
+        rows = fut.result()
         for r, h2 in enumerate(head):
             if slam.initialized:
                 slam._apply_pending_ba()
@@ -2246,9 +2285,12 @@ def run_pipelined(
     if cur:  # stack & land the trailing partial chunk too
         stacked = jnp.stack([h2["blob"] for h2 in cur])
         _fetch_async(stacked)
-        chunks.append(dict(stacked=stacked, handles=cur.copy()))
+        chunks.append(dict(
+            fut=fetch_pool.submit(np.asarray, stacked), handles=cur.copy()
+        ))
         cur.clear()
     drain_tracking(0)
+    fetch_pool.shutdown(wait=False)
     # Apply the BA dispatched at the final keyframe — nothing after the
     # stream end would otherwise force it, discarding the last keyframe's
     # optimization and observation pruning.
