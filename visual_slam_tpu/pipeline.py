@@ -712,6 +712,30 @@ class Slam:
         self._pending_loop_verify = None  # in-flight closure verification
         self.stats = {"ba_runs": 0, "keyframes": 0, "culled": 0, "init_frame": None}
         self.timers = StageTimers()
+        # One background fetch worker for the keyframe-cadence results
+        # (BA / mine / loop scores / loop verify): the blocking device->host
+        # read releases the GIL inside the RPC, so the worker eats the
+        # ~25-40 ms tunnel round trip while the main thread keeps
+        # dispatching — the same pattern run_pipelined uses for the
+        # per-frame track blobs. Spinning on is_ready at apply time instead
+        # measured ~10 ms/frame of main-thread wall (the single largest
+        # host cost after the r4 chunked-consume work).
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="slam-fetch"
+        )
+
+    def _bg_fetch(self, *arrays):
+        """Start device->host copies and hand the blocking reads to the
+        background worker. Returns a future resolving to [np.ndarray, ...];
+        by apply time (2-3 frames later) it is usually already resolved,
+        and the fetched values are cached on the jax arrays so any
+        follow-up np.asarray on them is free."""
+        _fetch_async(*arrays)
+        return self._fetch_pool.submit(
+            lambda arrs=arrays: [np.asarray(a) for a in arrs]
+        )
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -1280,7 +1304,8 @@ class Slam:
             # lands while tracking continues; a synchronous read here costs
             # a full ~50 ms tunnel sync per scored keyframe.
             self._pending_loop = dict(
-                kf_id=kf_id, feats=feats, scores=loop_scores, age=0
+                kf_id=kf_id, feats=feats, scores=loop_scores,
+                fut=self._bg_fetch(loop_scores), age=0
             )
         # Full bundle adjustment over the map (≙ main.py:322-323),
         # dispatched async NOW — a full keyframe interval before the next
@@ -1330,8 +1355,8 @@ class Slam:
             cfg.keyframe.min_parallax_deg,
             cross_check=cfg.frontend.cross_check,
         )
-        _fetch_async(mine_blob)
         self._pending_mine = dict(
+            fut=self._bg_fetch(mine_blob),
             blob=mine_blob,
             kf_id=kf_id,
             prev_id=prev_id,
@@ -1354,19 +1379,15 @@ class Slam:
         # binary swings full-sequence ATE 0.05-0.14 run to run). Applying
         # at a FIXED tick age (spinning if the result hasn't landed)
         # makes runs reproducible; the spin is free in normal weather.
-        if not force:
-            if h["age"] < 2:
-                h["age"] += 1
-                return
-            _spin_ready([h["blob"]])
-        else:
-            _spin_ready([h["blob"]])
+        if not force and h["age"] < 2:
+            h["age"] += 1
+            return
         self._pending_mine = None
         cfg = self.cfg
         kf_id, prev_id, feats = h["kf_id"], h["prev_id"], h["feats"]
         mapped_cur = h["mapped"]
         with self.timers.time("mine_apply"):
-            (mine_np,) = _fetch_now(h["blob"])
+            (mine_np,) = h["fut"].result()
         K = int(h["prev_uv"].shape[0])
         idx2_np, keep, keep_loose_np, X_np = _unpack_mine_blob(mine_np, K)
         keep = keep.copy()
@@ -1444,12 +1465,15 @@ class Slam:
                 prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters,
                 solver=cfg.ba.solver, use_depth=use_depth,
             )
-        # Start the result copies now: by apply time (a couple of frames
-        # later) they have landed and the apply's fetches are ~free. The
+        # Start the result copies now AND hand the blocking reads to the
+        # background worker: by apply time (a couple of frames later) the
+        # future has resolved and the apply's fetches are ~free. The
         # packing meta is bound to the handle: slot->obs mapping must match
         # the dispatched problem even if the map changes before apply.
-        _fetch_async(out.R, out.t, out.X, diag, bad)
-        self._pending_ba = (out, diag, bad, kf_id, scale_gauge, 0, self.map.ba_meta)
+        fut = self._bg_fetch(out.R, out.t, out.X, diag, bad)
+        self._pending_ba = (
+            out, diag, bad, kf_id, scale_gauge, 0, self.map.ba_meta, fut
+        )
 
     def _apply_pending_ba(self, force: bool = False,
                           force_loop: bool | None = None) -> None:
@@ -1492,16 +1516,15 @@ class Slam:
             if force:
                 self._consume_pending_ba(force=True)
 
-    def _drop_or_apply_pending_ba(self, spin_ms: float = 8.0) -> None:
-        """Keyframe-insertion BA policy: apply the pending BA if its result
-        has landed (cheap ~25 ms fetch), else DISCARD it.
+    def _drop_or_apply_pending_ba(self) -> None:
+        """Keyframe-insertion BA policy: apply the pending BA if it has had
+        at least one frame of device time, else DISCARD it.
 
         Discarding is safe because the caller (_insert_keyframe) dispatches
         a fresh BA over the current map at the end of the insertion, whose
         problem is a strict superset of the dropped one's; the only loss is
         the dropped solve's device cycles and its deferred observation
-        pruning, which the fresh solve redoes. A short spin (`spin_ms`)
-        catches almost-landed results so they are not wasted."""
+        pruning, which the fresh solve redoes."""
         if self._pending_ba is None:
             return
         # DETERMINISTIC policy (see _apply_pending_mine): age >= 1 means
@@ -1521,24 +1544,22 @@ class Slam:
     def _consume_pending_ba(self, force: bool = False) -> None:
         if self._pending_ba is None:
             return
-        out, diag, bad, kf_id, scale_gauge, age, meta = self._pending_ba
-        if not force:
+        out, diag, bad, kf_id, scale_gauge, age, meta, fut = self._pending_ba
+        if not force and age < 3:
             # DETERMINISTIC apply age (see _apply_pending_mine): the BA
-            # lands exactly 3 ticks after dispatch, spinning if needed.
+            # lands exactly 3 ticks after dispatch, waiting if needed.
             # (Probed on the 1200-frame sequence: age 2 -> ATE 0.120,
             # age 3 -> 0.092, age 5 -> 0.176.)
-            if age < 3:
-                self._pending_ba = (out, diag, bad, kf_id, scale_gauge, age + 1, meta)
-                return
-            _spin_ready([diag])
-        else:
-            # Forced apply of a possibly-unfinished BA (back-to-back
-            # keyframes): spin so the blocking fetch below finds the result
-            # already landed — bounded, unlike the previous bare loop, so a
-            # wedged BA program can't hang the pipeline forever.
-            _spin_ready([diag])
+            self._pending_ba = (
+                out, diag, bad, kf_id, scale_gauge, age + 1, meta, fut
+            )
+            return
         self._pending_ba = None
         with self.timers.time("bundle_adjust"):
+            # The worker already ate the round trip; the fetched values are
+            # cached on the device arrays, so the np.asarray reads below
+            # (and in update_from_ba) are host-memory copies.
+            fut.result()
             diag_np = np.asarray(diag)
         cost_before, cost_after, blown = (float(v) for v in diag_np)
         # Failure detection (SURVEY.md §5 — the reference has none): reject a
@@ -1646,16 +1667,13 @@ class Slam:
         h = self._pending_loop
         if h is None:
             return
-        if not force:
-            if h["age"] < 2:  # deterministic age (see _apply_pending_mine)
-                h["age"] += 1
-                return
-            _spin_ready([h["scores"]])
-        else:
-            _spin_ready([h["scores"]])
+        if not force and h["age"] < 2:
+            h["age"] += 1  # deterministic age (see _apply_pending_mine)
+            return
         self._pending_loop = None
         with self.timers.time("kf_loop"):
-            self._dispatch_loop_verify(h["kf_id"], h["feats"], h["scores"])
+            (scores_np,) = h["fut"].result()
+            self._dispatch_loop_verify(h["kf_id"], h["feats"], scores_np)
 
     def _dispatch_loop_verify(self, kf_id: int, feats, scores_dev) -> None:
         """Consume the scoring pass; DISPATCH geometric verification of a
@@ -1668,7 +1686,10 @@ class Slam:
         if self._pending_loop_verify is not None:
             return  # one verification in flight at a time (cooldown-rare)
         cfg = self.cfg.loop
-        (scores,) = _fetch_now(scores_dev)
+        if isinstance(scores_dev, np.ndarray):
+            scores = scores_dev  # already fetched by the background worker
+        else:
+            (scores,) = _fetch_now(scores_dev)
         cand = lc_mod.find_candidate(scores, kf_id, cfg)
         if cand is None:
             return
@@ -1706,10 +1727,10 @@ class Slam:
             n_hyps=tcfg.pnp_hypotheses, refine_iters=tcfg.refine_iters,
             cross_check=fq.cross_check,
         )
-        _fetch_async(blob)
         self.stats["loop_candidates"] = self.stats.get("loop_candidates", 0) + 1
         self._pending_loop_verify = dict(
-            kf_id=kf_id, cand=cand, feats=feats, blob=blob, snap=snap, age=0
+            kf_id=kf_id, cand=cand, feats=feats, blob=blob,
+            fut=self._bg_fetch(blob), snap=snap, age=0
         )
 
     def _apply_pending_loop_verify(self, force: bool = False) -> None:
@@ -1719,13 +1740,9 @@ class Slam:
         h = self._pending_loop_verify
         if h is None:
             return
-        if not force:
-            if h["age"] < 2:  # deterministic age (see _apply_pending_mine)
-                h["age"] += 1
-                return
-            _spin_ready([h["blob"]])
-        else:
-            _spin_ready([h["blob"]])
+        if not force and h["age"] < 2:
+            h["age"] += 1  # deterministic age (see _apply_pending_mine)
+            return
         self._pending_loop_verify = None
         with self.timers.time("kf_loop"):
             self._close_loop(h)
@@ -1733,7 +1750,7 @@ class Slam:
     def _close_loop(self, h: dict) -> None:
         cfg = self.cfg.loop
         kf_id, cand, feats, snap = h["kf_id"], h["cand"], h["feats"], h["snap"]
-        (blob_np,) = _fetch_now(h["blob"])
+        (blob_np,) = h["fut"].result()
         M = int(snap["valid"].shape[0])
         Kf = int(np.asarray(feats.uv).shape[0])
         inl_host, idx2_host, _ = _unpack_blob(blob_np, M, Kf)
