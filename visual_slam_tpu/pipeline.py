@@ -672,6 +672,14 @@ class Slam:
         # init state
         self._init_feats = None
         self._init_frame_idx = None
+        # Async init confirmation (run_pipelined): the candidate-pair
+        # re-estimate is dispatched and consumed a fixed number of ticks
+        # later instead of synchronously — a blocking confirm fetch behind
+        # the ~40-deep init pipeline measured ~100-150 ms per candidate
+        # (the bulk of the init phase; candidates cluster once the flow
+        # gate opens). Serial/windowed drivers keep the sync confirm.
+        self._async_init_verify = False
+        self._pending_init_verify = None
         # tracking state
         self._snapshot = None
         self._last_kf_id = None
@@ -837,6 +845,20 @@ class Slam:
             # re-scores ~0.3, and seeding from it costs 2x the final ATE).
             # One independent re-estimate with a fresh seed must agree
             # before the pair may build the map.
+            if self._async_init_verify:
+                # Pipelined: dispatch the confirm and consume it at a fixed
+                # tick age (_check_init_verify) — a synchronous fetch here
+                # waits out the whole in-flight init queue. One confirm in
+                # flight at a time; later candidates simply wait their turn
+                # (candidates arrive every frame once the flow gate opens).
+                if self._pending_init_verify is None:
+                    h2 = self._dispatch_init(frame_idx, feats)
+                    h2["reverified"] = True
+                    h2["depth"] = h.get("depth")
+                    h2["fut"] = self._bg_fetch(h2["blob"])
+                    h2["age"] = 0
+                    self._pending_init_verify = h2
+                return False
             h2 = self._dispatch_init(frame_idx, feats)
             h2["reverified"] = True
             if not self._consume_init(h2):
@@ -890,6 +912,26 @@ class Slam:
             FrameResult(frame_idx, self.map.kf_R[kf1], self.map.kf_t[kf1], n_matches, True)
         )
         return True
+
+    def _check_init_verify(self, force: bool = False) -> bool:
+        """Consume a pending async init confirmation at a DETERMINISTIC
+        tick age (wall-clock readiness would make the accepted pair — and
+        the whole trajectory — depend on tunnel weather). Returns True when
+        the confirm agreed and the system initialized."""
+        h2 = self._pending_init_verify
+        if h2 is None:
+            return False
+        if not force and h2["age"] < 4:
+            h2["age"] += 1
+            return False
+        self._pending_init_verify = None
+        (row,) = h2["fut"].result()
+        if self._consume_init(h2, row):
+            return True
+        self.stats["init_reverify_rejects"] = (
+            self.stats.get("init_reverify_rejects", 0) + 1
+        )
+        return False
 
     def _initialize_rgbd(self, frame_idx, feats, depth):
         """RGB-D initialization: backproject features through the metric
@@ -2105,6 +2147,7 @@ def run_pipelined(
     from collections import deque
 
     cfg = slam.cfg
+    slam._async_init_verify = True  # see _consume_init / _check_init_verify
     init_pending: deque = deque()
     depth_cap = pipeline_depth
     # Tracking consumes are CHUNKED: each chunk's blobs are jnp.stack'd
@@ -2168,13 +2211,22 @@ def run_pipelined(
         """On init acceptance, convert the in-flight init attempts (frames
         NEWER than the accepted pair) into tracking dispatches — their
         features are already on device, and dropping them would leave a
-        pipeline-depth-sized hole in the trajectory. Then consume down to
-        the tracking depth: the init pipeline is much deeper (init_cap),
-        and leaving its backlog in `pending` would lag every keyframe
-        decision by init_cap frames for the rest of the run."""
-        leftover = list(init_pending)
+        pipeline-depth-sized hole in the trajectory. Prepared chunks are
+        converted first (they hold the oldest in-flight frames), keeping
+        the trajectory in frame order. Then consume down to the tracking
+        depth: the init pipeline is much deeper (init_cap), and leaving
+        its backlog in `pending` would lag every keyframe decision by
+        init_cap frames for the rest of the run."""
+        leftover = []
+        for _fut, head in init_prepared:
+            leftover.extend(head)
+        init_prepared.clear()
+        leftover.extend(init_pending)
         init_pending.clear()
+        accepted = slam.stats.get("init_frame") or -1
         for h2 in leftover:
+            if h2["frame_idx"] <= accepted:
+                continue  # at/before the accepted pair: not a tracking frame
             slam._apply_pending_ba()
             push_track_handle(
                 slam._dispatch_track(
@@ -2194,54 +2246,64 @@ def run_pipelined(
                 slam._try_initialize(i, feats, depth)
                 return
             t0 = _time.perf_counter()
-            h = slam._dispatch_init(i, feats)
-            if h is not None:
-                h["depth"] = depth
-                init_pending.append(h)
-            tick("dispatch_init", t0)
-            t0 = _time.perf_counter()
-            # Chunked init consume with one-frame prepare-ahead: the
-            # chunk's blobs stack into ONE array (separate arrays do not
-            # amortize) whose async copy gets a frame of head start
-            # before the fetch.
-            if init_prepared and (
-                init_prepared[0][0].done() or len(init_prepared) >= 2
-            ):
-                fut, head = init_prepared.pop(0)
-                rows = fut.result()
-                for r, h2 in enumerate(head):
-                    if slam.initialized:
-                        # Frames after the accepted pair become tracking
-                        # dispatches (their features are on device).
-                        slam._apply_pending_ba()
-                        push_track_handle(slam._dispatch_track(
-                            h2["frame_idx"], h2["feats"], h2.get("depth")
-                        ))
-                    elif slam._consume_init(h2, rows[r]):
-                        drain_init_to_tracking()
-            if len(init_prepared) < 2 and len(init_pending) > init_cap:
-                k = min(consume_chunk, len(init_pending))
-                head = [init_pending.popleft() for _ in range(k)]
-                stacked = jnp.stack([h2["blob"] for h2 in head])
-                _fetch_async(stacked)
-                init_prepared.append(
-                    (fetch_pool.submit(np.asarray, stacked), head)
-                )
-            tick("consume_init", t0)
-        else:
-            init_pending.clear()  # drop superseded init attempts
-            t0 = _time.perf_counter()
-            slam._apply_pending_ba()
-            tick("apply_ba", t0)
-            t0 = _time.perf_counter()
-            push_track_handle(slam._dispatch_track(i, feats, depth))
-            tick("dispatch_track", t0)
-            t0 = _time.perf_counter()
-            # Land the oldest chunk once chunk_depth newer ones are in
-            # flight; keyframe decisions lag <= (chunk_depth+1)*chunk
-            # frames, which the stale-candidate re-track path absorbs.
-            drain_tracking(chunk_depth)
-            tick("consume_track", t0)
+            # Async candidate confirm (one per candidate pair; consumed at
+            # a fixed tick age). On acceptance this frame falls through to
+            # the tracking branch below.
+            if slam._check_init_verify():
+                tick("consume_init", t0)
+                drain_init_to_tracking()
+            else:
+                _dispatch_init_attempt(i, feats, depth, t0)
+                return
+        init_pending.clear()  # drop superseded init attempts
+        t0 = _time.perf_counter()
+        slam._apply_pending_ba()
+        tick("apply_ba", t0)
+        t0 = _time.perf_counter()
+        push_track_handle(slam._dispatch_track(i, feats, depth))
+        tick("dispatch_track", t0)
+        t0 = _time.perf_counter()
+        # Land the oldest chunk once chunk_depth newer ones are in
+        # flight; keyframe decisions lag <= (chunk_depth+1)*chunk
+        # frames, which the stale-candidate re-track path absorbs.
+        drain_tracking(chunk_depth)
+        tick("consume_track", t0)
+
+    def _dispatch_init_attempt(i, feats, depth, t0):
+        h = slam._dispatch_init(i, feats)
+        if h is not None:
+            h["depth"] = depth
+            init_pending.append(h)
+        tick("dispatch_init", t0)
+        t0 = _time.perf_counter()
+        # Chunked init consume with one-frame prepare-ahead: the
+        # chunk's blobs stack into ONE array (separate arrays do not
+        # amortize) whose async copy gets a frame of head start
+        # before the fetch.
+        if init_prepared and (
+            init_prepared[0][0].done() or len(init_prepared) >= 2
+        ):
+            fut, head = init_prepared.pop(0)
+            rows = fut.result()
+            for r, h2 in enumerate(head):
+                if slam.initialized:
+                    # Frames after the accepted pair become tracking
+                    # dispatches (their features are on device).
+                    slam._apply_pending_ba()
+                    push_track_handle(slam._dispatch_track(
+                        h2["frame_idx"], h2["feats"], h2.get("depth")
+                    ))
+                elif slam._consume_init(h2, rows[r]):
+                    drain_init_to_tracking()
+        if len(init_prepared) < 2 and len(init_pending) > init_cap:
+            k = min(consume_chunk, len(init_pending))
+            head = [init_pending.popleft() for _ in range(k)]
+            stacked = jnp.stack([h2["blob"] for h2 in head])
+            _fetch_async(stacked)
+            init_prepared.append(
+                (fetch_pool.submit(np.asarray, stacked), head)
+            )
+        tick("consume_init", t0)
 
     def extract_dev(img_dev):
         t0 = _time.perf_counter()
@@ -2284,7 +2346,8 @@ def run_pipelined(
             # feed, viewer.py:21-35). Map state lags ~pipeline_depth frames.
             on_frame(slam, i)
     flush_block()
-    for fut, head in init_prepared:
+    while init_prepared:
+        fut, head = init_prepared.pop(0)
         rows = fut.result()
         for r, h2 in enumerate(head):
             if slam.initialized:
@@ -2292,13 +2355,21 @@ def run_pipelined(
                 push_track_handle(slam._dispatch_track(
                     h2["frame_idx"], h2["feats"], h2.get("depth")
                 ))
-            elif slam._consume_init(h2, rows[r]):
+            elif (
+                slam._consume_init(h2, rows[r])
+                or slam._check_init_verify(force=True)
+            ):
                 drain_init_to_tracking()
-    init_prepared.clear()
     while init_pending and not slam.initialized:
-        if slam._consume_init(init_pending.popleft()):
+        if (
+            slam._consume_init(init_pending.popleft())
+            or slam._check_init_verify(force=True)
+        ):
             drain_init_to_tracking()
             break
+    if not slam.initialized and slam._check_init_verify(force=True):
+        drain_init_to_tracking()
+    slam._async_init_verify = False
     if cur:  # stack & land the trailing partial chunk too
         stacked = jnp.stack([h2["blob"] for h2 in cur])
         _fetch_async(stacked)
