@@ -132,19 +132,22 @@ def main():
             slam, it, pipeline_depth=PIPE_DEPTH, on_frame=cb, prof=prof
         )
 
-    # Headline: IO included, BEST OF TWO passes. The tunnel's round-trip
-    # latency swings by minutes-scale weather (measured: the same code
-    # benches 35-50 fps across an hour, with one 87-SECOND outlier fetch);
-    # two passes cost ~10 s and keep one bad window from defining the
-    # recorded number.
+    # Headline: IO included, BEST OF TWO passes — and BOTH passes recorded
+    # (VERDICT r4 weak #7: the variance belongs in the artifact, not just a
+    # comment). The tunnel's round-trip latency swings by minutes-scale
+    # weather (measured: the same code benches 35-50 fps across an hour,
+    # with one 87-SECOND outlier fetch); two passes cost ~10 s and keep one
+    # bad window from defining the recorded number.
     fps_io = 0.0
     wall_io = float("inf")
     slam = None
+    fps_io_passes = []
     for _ in range(2):
         p = {}
         t0 = time.perf_counter()
         s = run_mode_cb(Slam(SlamConfig()), io_iter(), prof=p)
         w = time.perf_counter() - t0
+        fps_io_passes.append(round(N_FRAMES / w, 2))
         if N_FRAMES / w > fps_io:
             fps_io, wall_io, slam = N_FRAMES / w, w, s
             prof_io.clear()
@@ -153,10 +156,12 @@ def main():
     # No-IO variant (frames already in RAM; matches BASELINE_CPU conditions).
     fps_mem = 0.0
     slam2 = None
+    fps_mem_passes = []
     for _ in range(2):
         t0 = time.perf_counter()
         s = run_mode_cb(Slam(SlamConfig()), mem_iter())
         f = N_FRAMES / (time.perf_counter() - t0)
+        fps_mem_passes.append(round(f, 2))
         if f > fps_mem:
             fps_mem, slam2 = f, s
     slam_best = slam2 if fps_mem >= fps_io else slam
@@ -405,6 +410,8 @@ def main():
 
     extra = {
         "fps_no_io": round(fps_mem, 2),
+        "fps_io_passes": fps_io_passes,
+        "fps_no_io_passes": fps_mem_passes,
         "fps_device_rate": round(device_fps, 1),
         "fps_device_rate_per_dispatch": round(device_fps_dispatch, 1),
         "pipeline_depth": PIPE_DEPTH,
@@ -496,17 +503,53 @@ def main():
         extra["fullseq_mono_sim3"] = fullseq(rgbd=False)
         extra["fullseq_rgbd_se3"] = fullseq(rgbd=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ICL-NUIM lr_kt0 200-frame SLAM throughput (incl. image decode)",
-                "value": round(fps_io, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_io / baseline_fps, 2),
-                **extra,
+    detail = {
+        "metric": "ICL-NUIM lr_kt0 200-frame SLAM throughput (incl. image decode)",
+        "value": round(fps_io, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_io / baseline_fps, 2),
+        **extra,
+    }
+    # Artifact discipline (VERDICT r4 weak #1 / next #3): the full record
+    # outgrew the driver's stdout tail capture in round 4, leaving the
+    # round's headline number only in commit messages. Write the full
+    # record to a sidecar file AND print it on a preceding line, then print
+    # a COMPACT headline as the FINAL stdout line — a tail capture of any
+    # reasonable size always contains every headline claim.
+    try:
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    headline = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "frames/s",
+        "vs_baseline": detail["vs_baseline"],
+        "fps_io_passes": fps_io_passes,
+        "fps_no_io": detail["fps_no_io"],
+        "fps_device_rate": extra.get("fps_device_rate"),
+        "fps_device_rate_per_dispatch": extra.get("fps_device_rate_per_dispatch"),
+        "ate_rmse_m": extra.get("ate_rmse_m"),
+        "tracking_phase_fps": extra.get("tracking_phase_fps"),
+        "init_phase_s": extra.get("init_phase_s"),
+        "mode": MODE,
+        "backend": extra.get("backend"),
+        "keyframes": extra.get("keyframes"),
+        "detail": "BENCH_DETAIL.json (full record; also the preceding stdout line)",
+    }
+    for name in ("fullseq_mono_sim3", "fullseq_rgbd_se3"):
+        if name in extra:
+            fs = extra[name]
+            headline[name] = {
+                k: fs.get(k)
+                for k in (
+                    "fps", "ate_rmse_m", "keyframes", "loop_closures",
+                    "track_failures",
+                )
             }
-        )
-    )
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

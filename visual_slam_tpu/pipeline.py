@@ -618,6 +618,20 @@ def _spin_ready(arrays, timeout_s: float = 30.0) -> None:
             break
 
 
+def _result_bounded(fut, timeout_s: float = 30.0):
+    """Bounded wait on a background-fetch future. An unbounded
+    fut.result() lets a wedged device program hang the pipeline forever —
+    the hazard the retired _spin_ready deadline guarded against. Returns
+    the future's value, or None on timeout; callers treat None as a
+    dropped/rejected result."""
+    from concurrent.futures import TimeoutError as _FutTimeout
+
+    try:
+        return fut.result(timeout=timeout_s)
+    except _FutTimeout:
+        return None
+
+
 def _fetch_now(*arrays):
     """Fetch device arrays to host with ONE tunnel flush (~30 ms total).
 
@@ -730,9 +744,26 @@ class Slam:
         # host cost after the r4 chunked-consume work).
         from concurrent.futures import ThreadPoolExecutor
 
+        # Two workers (r5): concurrent reads overlap on the tunnel
+        # (scripts/probe_tunnel.py), and at keyframe time a BA fetch and a
+        # mine fetch are routinely in flight together — serialized on one
+        # worker they doubled the apply-age stall.
         self._fetch_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="slam-fetch"
+            max_workers=2, thread_name_prefix="slam-fetch"
         )
+
+    def close(self):
+        """Shut down the background fetch worker (ADVICE r4: the pool was
+        never shut down — harmless for one Slam, thread accumulation for
+        many). Idempotent; the Slam stays readable (trajectory, map,
+        positions) but must not dispatch new async work."""
+        self._fetch_pool.shutdown(wait=False)
+
+    def __del__(self):  # best-effort backstop; close() is the real path
+        try:
+            self._fetch_pool.shutdown(wait=False)
+        except Exception:
+            pass
 
     def _bg_fetch(self, *arrays):
         """Start device->host copies and hand the blocking reads to the
@@ -925,7 +956,13 @@ class Slam:
             h2["age"] += 1
             return False
         self._pending_init_verify = None
-        (row,) = h2["fut"].result()
+        res = _result_bounded(h2["fut"])
+        if res is None:  # wedged fetch: treat as a reject, keep searching
+            self.stats["init_reverify_rejects"] = (
+                self.stats.get("init_reverify_rejects", 0) + 1
+            )
+            return False
+        (row,) = res
         if self._consume_init(h2, row):
             return True
         self.stats["init_reverify_rejects"] = (
@@ -1097,6 +1134,19 @@ class Slam:
         R = blob_np[:9].reshape(3, 3)
         t = blob_np[9:12]
         n_tracked = int(blob_np[12])
+        if h.get("backfill", False):
+            # Out-of-band init-window frame (see drain_init_to_tracking):
+            # record its pose and nothing else — no keyframe candidacy, no
+            # cadence counter, no failure recovery, no _prev pose update.
+            if n_tracked >= cfg.tracking.min_tracked_points:
+                R_np, t_np = R.copy(), t.copy()
+            else:
+                R_np, t_np = self._prev_R.copy(), self._prev_t.copy()
+            self.trajectory.append(FrameResult(
+                frame_idx, R_np, t_np, n_tracked, False,
+                ref_kf=self._last_kf_id if self._last_kf_id is not None else -1,
+            ))
+            return
         relocalized = False
         if n_tracked < cfg.tracking.min_tracked_points:
             # Retry once against the CURRENT map (pending mine forced in)
@@ -1429,7 +1479,11 @@ class Slam:
         kf_id, prev_id, feats = h["kf_id"], h["prev_id"], h["feats"]
         mapped_cur = h["mapped"]
         with self.timers.time("mine_apply"):
-            (mine_np,) = h["fut"].result()
+            res = _result_bounded(h["fut"])
+        if res is None:  # wedged fetch: drop this mine, keep tracking
+            self.stats["mine_dropped"] = self.stats.get("mine_dropped", 0) + 1
+            return
+        (mine_np,) = res
         K = int(h["prev_uv"].shape[0])
         idx2_np, keep, keep_loose_np, X_np = _unpack_mine_blob(mine_np, K)
         keep = keep.copy()
@@ -1601,7 +1655,12 @@ class Slam:
             # The worker already ate the round trip; the fetched values are
             # cached on the device arrays, so the np.asarray reads below
             # (and in update_from_ba) are host-memory copies.
-            fut.result()
+            if _result_bounded(fut) is None:
+                # Wedged fetch: treat like a diverged solve — drop it.
+                self.stats["ba_rejected"] = (
+                    self.stats.get("ba_rejected", 0) + 1
+                )
+                return
             diag_np = np.asarray(diag)
         cost_before, cost_after, blown = (float(v) for v in diag_np)
         # Failure detection (SURVEY.md §5 — the reference has none): reject a
@@ -1714,7 +1773,10 @@ class Slam:
             return
         self._pending_loop = None
         with self.timers.time("kf_loop"):
-            (scores_np,) = h["fut"].result()
+            res = _result_bounded(h["fut"])
+            if res is None:  # wedged fetch: skip this scoring pass
+                return
+            (scores_np,) = res
             self._dispatch_loop_verify(h["kf_id"], h["feats"], scores_np)
 
     def _dispatch_loop_verify(self, kf_id: int, feats, scores_dev) -> None:
@@ -1792,7 +1854,13 @@ class Slam:
     def _close_loop(self, h: dict) -> None:
         cfg = self.cfg.loop
         kf_id, cand, feats, snap = h["kf_id"], h["cand"], h["feats"], h["snap"]
-        (blob_np,) = h["fut"].result()
+        res = _result_bounded(h["fut"])
+        if res is None:  # wedged fetch: count as a failed verification
+            self.stats["loop_verify_fail"] = (
+                self.stats.get("loop_verify_fail", 0) + 1
+            )
+            return
+        (blob_np,) = res
         M = int(snap["valid"].shape[0])
         Kf = int(np.asarray(feats.uv).shape[0])
         inl_host, idx2_host, _ = _unpack_blob(blob_np, M, Kf)
@@ -2143,6 +2211,7 @@ def run_pipelined(
     against the current snapshot in _consume_track.
     `prof`: optional dict accumulating per-phase wall seconds.
     """
+    import os as _os
     import time as _time
     from collections import deque
 
@@ -2165,14 +2234,18 @@ def run_pipelined(
     chunk_depth = max(1, depth_cap // consume_chunk)
     cur: list = []  # dispatched handles awaiting stacking
     chunks: deque = deque()  # {fut (host fetch future), handles}
-    # One background fetch thread: the blocking device->host read releases
-    # the GIL inside the RPC, so the worker eats the tunnel round trip
-    # (measured 30-100 ms in degraded weather, during which async copies
-    # do NOT progress on their own) while the main thread keeps
-    # dispatching. By land time the future is usually already resolved.
+    # Background fetch threads: the blocking device->host read releases
+    # the GIL inside the RPC, so a worker eats the tunnel round trip
+    # (~30-100 ms depending on weather) while the main thread keeps
+    # dispatching. FOUR workers, not one (r5): concurrent reads OVERLAP on
+    # the tunnel (scripts/probe_tunnel.py: 4 concurrent 64 KB fetches
+    # complete in ~43 ms total vs ~143 ms serialized), and a single worker
+    # made the fetch queue the throughput floor — chunk N's read could not
+    # start until chunk N-1's round trip finished, pinning the loop at
+    # ~RT/chunk ms/frame no matter how fast dispatch was.
     from concurrent.futures import ThreadPoolExecutor
 
-    fetch_pool = ThreadPoolExecutor(max_workers=1)
+    fetch_pool = ThreadPoolExecutor(max_workers=4)
 
     def land_chunk(c):
         with slam.timers.time("track_fetch"):
@@ -2202,6 +2275,23 @@ def run_pipelined(
     init_cap = max(depth_cap, 40)
     init_prepared: list = []  # at most one pre-stacked init chunk in flight
     consume_chunk = 4  # frames per grouped consume flush (see below)
+    # Handles consumed while an async init confirm was in flight (the
+    # pending-verify branch of _consume_init returns False for them). On
+    # acceptance these frames are NEWER than the accepted pair and must
+    # become tracking frames — discarding them leaves a ~confirm-age hole
+    # in the trajectory (ADVICE r4 medium). drain_init_to_tracking
+    # converts them; frames at/before the accepted pair filter out there.
+    verify_buffer: list = []
+
+    def consume_init_buffered(h2, row=None):
+        """_consume_init, but a handle rejected while a confirm was
+        pending is kept for drain_init_to_tracking (see verify_buffer)."""
+        was_pending = slam._pending_init_verify is not None
+        ok = slam._consume_init(h2, row)
+        if not ok and was_pending:
+            h2["was_verify_buffered"] = True
+            verify_buffer.append(h2)
+        return ok
 
     def tick(key, t0):
         if prof is not None:
@@ -2218,21 +2308,59 @@ def run_pipelined(
         its backlog in `pending` would lag every keyframe decision by
         init_cap frames for the rest of the run."""
         leftover = []
+        # verify_buffer first: those frames were consumed from prepared
+        # chunks and are the OLDEST in flight — keep the trajectory in
+        # frame order.
+        if _os.environ.get("VSLAM_VERIFY_BUFFER", "1") != "0":
+            leftover.extend(verify_buffer)
+        verify_buffer.clear()
         for _fut, head in init_prepared:
             leftover.extend(head)
         init_prepared.clear()
         leftover.extend(init_pending)
         init_pending.clear()
-        accepted = slam.stats.get("init_frame") or -1
+        _v = slam.stats.get("init_frame")
+        accepted = -1 if _v is None else _v
+        # Frames recovered from the confirm-in-flight window (the
+        # verify_buffer prefix of `leftover`) get POSES — dropping them
+        # left a hole in the trajectory (ADVICE r4 medium) — but stay
+        # COMPLETELY outside the live tracking stream: no keyframe
+        # candidacy, no cadence-counter ticks, no chunk-boundary shift,
+        # and a SIDE pose chain (the main chain is saved and restored so
+        # the live stream's seeds are bit-identical to the no-backfill
+        # path). Measured: pushing them through the regular chunked
+        # stream shifted every downstream consume tick and moved
+        # 1200-frame mono ATE from 0.093 to 0.159 with an unchanged
+        # keyframe policy.
+        backfill: list = []
+        pose_chain_save = slam._pose_dev
+        key_save = slam.key  # PRNG stream must match the no-backfill path
         for h2 in leftover:
-            if h2["frame_idx"] <= accepted:
-                continue  # at/before the accepted pair: not a tracking frame
+            if h2["frame_idx"] <= accepted or not h2.get("was_verify_buffered"):
+                continue
+            th = slam._dispatch_track(
+                h2["frame_idx"], h2["feats"], h2.get("depth")
+            )
+            th["backfill"] = True
+            backfill.append(th)
+        slam._pose_dev = pose_chain_save
+        slam.key = key_save
+        for h2 in leftover:
+            if h2["frame_idx"] <= accepted or h2.get("was_verify_buffered"):
+                continue
             slam._apply_pending_ba()
             push_track_handle(
                 slam._dispatch_track(
                     h2["frame_idx"], h2["feats"], h2.get("depth")
                 )
             )
+        if backfill:
+            # One grouped flush (NOT a jnp.stack: a fresh N-way concatenate
+            # shape costs a ~10 s compile for a once-per-run fetch; the
+            # async copies overlap on the tunnel, see probe_tunnel.py).
+            rows = _fetch_now(*[th["blob"] for th in backfill])
+            for th, row in zip(backfill, rows):
+                slam._consume_track(th, row)
         drain_tracking(chunk_depth)
 
     def dispatch(i, feats, depth):
@@ -2293,7 +2421,7 @@ def run_pipelined(
                     push_track_handle(slam._dispatch_track(
                         h2["frame_idx"], h2["feats"], h2.get("depth")
                     ))
-                elif slam._consume_init(h2, rows[r]):
+                elif consume_init_buffered(h2, rows[r]):
                     drain_init_to_tracking()
         if len(init_prepared) < 2 and len(init_pending) > init_cap:
             k = min(consume_chunk, len(init_pending))
@@ -2330,60 +2458,69 @@ def run_pipelined(
             dispatch(i, extract_dev(d), depth)
         block.clear()
 
-    for i, img, depth in frame_iter:
-        if isinstance(img, frontend.Features):
-            flush_block()
-            dispatch(i, img, depth)
-        elif isinstance(img, np.ndarray):
-            block.append((i, img, depth))
-            if len(block) >= max(h2d_block, 1):
+    # try/finally (ADVICE r4): an exception mid-run must not leave
+    # _async_init_verify=True on the Slam object (subsequent serial
+    # process_frame calls would dispatch confirms nothing consumes and
+    # initialization could never succeed) or the fetch pool running.
+    try:
+        for i, img, depth in frame_iter:
+            if isinstance(img, frontend.Features):
                 flush_block()
-        else:  # already a device array
-            flush_block()
-            dispatch(i, extract_dev(jnp.asarray(img)), depth)
-        if on_frame is not None:
-            # Observability hook (≙ the reference viewer's per-frame Queue
-            # feed, viewer.py:21-35). Map state lags ~pipeline_depth frames.
-            on_frame(slam, i)
-    flush_block()
-    while init_prepared:
-        fut, head = init_prepared.pop(0)
-        rows = fut.result()
-        for r, h2 in enumerate(head):
-            if slam.initialized:
-                slam._apply_pending_ba()
-                push_track_handle(slam._dispatch_track(
-                    h2["frame_idx"], h2["feats"], h2.get("depth")
-                ))
-            elif (
-                slam._consume_init(h2, rows[r])
+                dispatch(i, img, depth)
+            elif isinstance(img, np.ndarray):
+                block.append((i, img, depth))
+                if len(block) >= max(h2d_block, 1):
+                    flush_block()
+            else:  # already a device array
+                flush_block()
+                dispatch(i, extract_dev(jnp.asarray(img)), depth)
+            if on_frame is not None:
+                # Observability hook (≙ the reference viewer's per-frame
+                # Queue feed, viewer.py:21-35). Map state lags
+                # ~pipeline_depth frames.
+                on_frame(slam, i)
+        flush_block()
+        while init_prepared:
+            fut, head = init_prepared.pop(0)
+            rows = fut.result()
+            for r, h2 in enumerate(head):
+                if slam.initialized:
+                    slam._apply_pending_ba()
+                    push_track_handle(slam._dispatch_track(
+                        h2["frame_idx"], h2["feats"], h2.get("depth")
+                    ))
+                elif (
+                    consume_init_buffered(h2, rows[r])
+                    or slam._check_init_verify(force=True)
+                ):
+                    drain_init_to_tracking()
+        while init_pending and not slam.initialized:
+            if (
+                consume_init_buffered(init_pending.popleft())
                 or slam._check_init_verify(force=True)
             ):
                 drain_init_to_tracking()
-    while init_pending and not slam.initialized:
-        if (
-            slam._consume_init(init_pending.popleft())
-            or slam._check_init_verify(force=True)
-        ):
+                break
+        if not slam.initialized and slam._check_init_verify(force=True):
             drain_init_to_tracking()
-            break
-    if not slam.initialized and slam._check_init_verify(force=True):
-        drain_init_to_tracking()
-    slam._async_init_verify = False
-    if cur:  # stack & land the trailing partial chunk too
-        stacked = jnp.stack([h2["blob"] for h2 in cur])
-        _fetch_async(stacked)
-        chunks.append(dict(
-            fut=fetch_pool.submit(np.asarray, stacked), handles=cur.copy()
-        ))
-        cur.clear()
-    drain_tracking(0)
-    fetch_pool.shutdown(wait=False)
-    # Apply the BA dispatched at the final keyframe — nothing after the
-    # stream end would otherwise force it, discarding the last keyframe's
-    # optimization and observation pruning.
-    slam._apply_pending_mine(force=True, dispatch_ba=True)
-    slam._apply_pending_ba(force=True)
+        if cur:  # stack & land the trailing partial chunk too
+            stacked = jnp.stack([h2["blob"] for h2 in cur])
+            _fetch_async(stacked)
+            chunks.append(dict(
+                fut=fetch_pool.submit(np.asarray, stacked),
+                handles=cur.copy(),
+            ))
+            cur.clear()
+        drain_tracking(0)
+        # Apply the BA dispatched at the final keyframe — nothing after the
+        # stream end would otherwise force it, discarding the last
+        # keyframe's optimization and observation pruning.
+        slam._apply_pending_mine(force=True, dispatch_ba=True)
+        slam._apply_pending_ba(force=True)
+    finally:
+        slam._async_init_verify = False
+        slam._pending_init_verify = None
+        fetch_pool.shutdown(wait=False)
     return slam
 
 
@@ -2768,6 +2905,7 @@ def run_sequence(
     windowed: bool = False,
     window: int = 8,
     on_frame=None,
+    prof: dict | None = None,
 ):
     """Run SLAM over a dataset; returns the Slam object. When no config is
     given, map capacities are sized to the frame range.
@@ -2792,7 +2930,8 @@ def run_sequence(
         )
     if pipelined:
         return run_pipelined(
-            slam, dataset.frames(start, stop), pipeline_depth, on_frame=on_frame
+            slam, dataset.frames(start, stop), pipeline_depth,
+            on_frame=on_frame, prof=prof,
         )
     for i, gray, depth in dataset.frames(start, stop):
         slam.process(i, gray, depth)
