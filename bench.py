@@ -477,18 +477,26 @@ def main():
         def fullseq(rgbd: bool):
             fcfg = size_config_for(FULLSEQ_FRAMES)
             fcfg.use_depth = rgbd
+            fprof: dict = {}
+            phase = {}
+
+            def cb(s, i, **kw):
+                if s.initialized and "t" not in phase:
+                    phase["t"] = time.perf_counter()
             t0 = time.perf_counter()
             s = run_sequence(
                 ds, fcfg, 0, FULLSEQ_FRAMES,
                 windowed=(MODE == "windowed"), window=WINDOW,
                 pipelined=(MODE != "windowed"), pipeline_depth=PIPE_DEPTH,
+                prof=fprof, on_frame=cb,
             )
+            t1 = time.perf_counter()
             s.optimize_pose_graph()
             dt = time.perf_counter() - t0
             idxs, est = s.positions()
             gp = gt[np.clip(idxs, 0, len(gt) - 1), :3, 3]
             rmse, _ = evaluate.ate_rmse(est, gp, align_scale=not rgbd)
-            return {
+            out = {
                 "fps": round(FULLSEQ_FRAMES / dt, 2),
                 "ate_rmse_m": round(rmse, 5),
                 "keyframes": s.stats["keyframes"],
@@ -498,7 +506,25 @@ def main():
                 "pgo_max_abs_log_scale": s.stats.get(
                     "pgo_max_abs_log_scale"
                 ),
+                # Phase breakdown (VERDICT r4 next #1): where the
+                # full-sequence wall time goes — init-search phase,
+                # tracking phase, final PGO, and the per-phase host-loop
+                # profile + keyframe-cadence stage totals.
+                "pgo_s": round(dt - (t1 - t0), 2),
+                "init_phase_s": round(
+                    (phase["t"] - t0) if "t" in phase else (t1 - t0), 2
+                ),
+                "prof_ms_per_frame": {
+                    k: round(v / FULLSEQ_FRAMES * 1e3, 2)
+                    for k, v in sorted(fprof.items())
+                },
+                "stage_total_s": {
+                    k: v["total_s"]
+                    for k, v in s.timers.summary().items()
+                },
             }
+            s.close()
+            return out
 
         extra["fullseq_mono_sim3"] = fullseq(rgbd=False)
         extra["fullseq_rgbd_se3"] = fullseq(rgbd=True)

@@ -124,6 +124,21 @@ def main():
             if isinstance(v, (int, float)) and not isinstance(v, bool)
         },
     }
+    # Final BA problem shape (padding diagnosis).
+    m = s.map
+    nob = m.n_obs
+    live = m.obs_valid[:nob] & m.pt_valid[m.obs_pt[:nob]]
+    cnt = np.bincount(m.obs_pt[:nob][live])
+    cnt = cnt[cnt > 0]
+    if len(cnt):
+        out["ba_shape"] = {
+            "live_obs": int(live.sum()), "n_pts": int(m.pt_valid.sum()),
+            "obs_per_pt_max": int(cnt.max()),
+            "obs_per_pt_mean": round(float(cnt.mean()), 2),
+            "pts_gt_q16": int((cnt > 16).sum()),
+            "pts_gt_q32": int((cnt > 32).sum()),
+        }
+
     dump = os.environ.get("VSLAM_PROF_DUMP")
     if dump:
         np.savez(

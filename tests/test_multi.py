@@ -91,3 +91,74 @@ def test_batched_windowed_tracking_device_sharded():
         gt_idx = np.clip(np.asarray(idxs) + seq.offset, 0, len(gt) - 1)
         rmse, _ = ate_rmse(est, gt[gt_idx, :3, 3], align_scale=False)
         assert rmse < 0.03, (b, rmse)
+
+
+@pytest.mark.slow
+def test_batched_production_length_rgbd():
+    """Config #3 at production length (VERDICT r4 next #7): two distinct
+    600-frame RGB-D sequences through run_batched (the production
+    multi-sequence mode — per-frame semantics, shared device-sharded
+    front-end), each matching its own single-sequence run's ATE."""
+    from visual_slam_tpu.models import frontend
+    from visual_slam_tpu.multi import run_batched
+    from visual_slam_tpu.pipeline import run_sequence, size_config_for
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset, WindowView
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    old = frontend.FRONTEND_BACKEND
+    frontend.FRONTEND_BACKEND = "xla"  # Pallas interpret-mode too slow on CPU
+    try:
+        ds = ICLNUIMDataset(DATA)
+        gt = ds.ground_truth()
+        seqs = [WindowView(ds, 0), WindowView(ds, 300)]
+        cfg = size_config_for(600)
+        cfg.use_depth = True
+        slams = run_batched(seqs, cfg, 0, 600)
+        assert all(s.initialized for s in slams)
+        for b, (seq, slam) in enumerate(zip(seqs, slams)):
+            slam.optimize_pose_graph()
+            idxs, est = slam.positions()
+            assert idxs[-1] >= 590, (b, idxs[-1])
+            gt_idx = np.clip(np.asarray(idxs) + seq.offset, 0, len(gt) - 1)
+            rmse, _ = ate_rmse(est, gt[gt_idx, :3, 3], align_scale=False)
+            single = run_sequence(seq, cfg, 0, 600)
+            single.optimize_pose_graph()
+            si, sp = single.positions()
+            s_idx = np.clip(np.asarray(si) + seq.offset, 0, len(gt) - 1)
+            s_rmse, _ = ate_rmse(sp, gt[s_idx, :3, 3], align_scale=False)
+            # Batched must match its own single-sequence run (identical
+            # semantics; front-end batching is the only difference).
+            assert rmse < max(2 * s_rmse, s_rmse + 0.01), (b, rmse, s_rmse)
+            assert rmse < 0.10, (b, rmse)
+    finally:
+        frontend.FRONTEND_BACKEND = old
+
+
+@pytest.mark.slow
+def test_batched_production_length_mono():
+    """Config #3, monocular, 600 frames/sequence (the directive names
+    mono explicitly — init search + scale handling run per sequence)."""
+    from visual_slam_tpu.models import frontend
+    from visual_slam_tpu.multi import run_batched
+    from visual_slam_tpu.pipeline import run_sequence, size_config_for
+    from visual_slam_tpu.utils.dataset import ICLNUIMDataset, WindowView
+    from visual_slam_tpu.utils.evaluate import ate_rmse
+
+    old = frontend.FRONTEND_BACKEND
+    frontend.FRONTEND_BACKEND = "xla"  # Pallas interpret-mode too slow on CPU
+    try:
+        ds = ICLNUIMDataset(DATA)
+        gt = ds.ground_truth()
+        seqs = [WindowView(ds, 0), WindowView(ds, 200)]
+        cfg = size_config_for(600)
+        cfg.use_depth = False
+        slams = run_batched(seqs, cfg, 0, 600)
+        assert all(s.initialized for s in slams)
+        for b, (seq, slam) in enumerate(zip(seqs, slams)):
+            slam.optimize_pose_graph()
+            idxs, est = slam.positions()
+            gt_idx = np.clip(np.asarray(idxs) + seq.offset, 0, len(gt) - 1)
+            rmse, _ = ate_rmse(est, gt[gt_idx, :3, 3], align_scale=True)
+            assert rmse < 0.10, (b, rmse)
+    finally:
+        frontend.FRONTEND_BACKEND = old

@@ -134,6 +134,24 @@ def pack_planar(cam, pnt, uv, w, min_p=64, min_q=8):
     return cam_s, uv_s, w_s, pt_valid, pt_ids, BAMeta(slot_obs, pt_ids)
 
 
+@partial(jax.jit, static_argnames=("N",))
+def _scatter_planar(slot, cam_rows, uv_rows, w_rows, dinv_rows, dw_rows,
+                    N: int):
+    """Scatter compact observation rows into the (N,) planar slot arrays
+    ON DEVICE. Padding rows carry slot == N (out of range) and are dropped
+    by the scatter. This keeps host packing and H2D transfer O(live obs)
+    instead of O(P*Q): at full-sequence map sizes the planar arrays are
+    >80% padding, and shipping ~6 MB of mostly-zeros per BA dispatch over
+    a ~15-30 MB/s tunnel was the single largest keyframe-cadence cost
+    (measured 65 ms/BA in scripts/profile_fullseq.py)."""
+    cam_s = jnp.zeros(N, jnp.int32).at[slot].set(cam_rows, mode="drop")
+    w_s = jnp.zeros(N, jnp.float32).at[slot].set(w_rows, mode="drop")
+    uvN = jnp.zeros((N, 2), jnp.float32).at[slot].set(uv_rows, mode="drop")
+    dinv_s = jnp.zeros(N, jnp.float32).at[slot].set(dinv_rows, mode="drop")
+    dw_s = jnp.zeros(N, jnp.float32).at[slot].set(dw_rows, mode="drop")
+    return cam_s, uvN.T, w_s, dinv_s, dw_s
+
+
 def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
                  se_i=None, se_j=None, se_meas=None, se_w=None,
                  min_p=64, min_q=8, depth=None, depth_weight=1.0):
@@ -145,24 +163,64 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
     `depth` (O,) is an optional per-observation measured metric depth
     (<=0 or NaN = no measurement); it becomes the inverse-depth residual
     planes (dinv, dw) consumed when `optimize(..., use_depth=True)`.
+
+    The planar (N,) arrays are built by a DEVICE scatter of the compact
+    live-observation rows (_scatter_planar) — the host never allocates or
+    transfers the padded layout.
     """
     R = np.asarray(R, np.float32)
-    cam_s, uv_s, w_s, pt_valid, pt_ids, meta = pack_planar(
-        cam, pnt, uv, w, min_p=min_p, min_q=min_q
+    cam = np.asarray(cam)
+    pnt = np.asarray(pnt)
+    uv = np.asarray(uv, np.float32)
+    w = np.asarray(w, np.float32)
+    valid = np.where(w > 0)[0]
+    vp = pnt[valid]
+    used = np.unique(vp)
+    P = _bucket(max(len(used), 1), min_p)
+    counts = np.bincount(np.searchsorted(used, vp), minlength=max(len(used), 1))
+    Q = _bucket(int(counts.max()) if counts.size else 1, min_q)
+    N = P * Q
+    order = np.argsort(vp, kind="stable")
+    rows = valid[order]
+    dense_p = np.searchsorted(used, vp[order])
+    first = np.searchsorted(dense_p, np.arange(len(used)), side="left")
+    slot = (dense_p * Q + (np.arange(len(rows)) - first[dense_p])).astype(
+        np.int32
     )
-    N = cam_s.shape[0]
-    dinv_s = np.zeros(N, np.float32)
-    dw_s = np.zeros(N, np.float32)
+    # Compact transfer rows, padded to a power-of-two count (few compile
+    # shapes); padding rows scatter to slot N and are dropped on device.
+    O2 = _bucket(max(len(rows), 1), 2048)
+    slot_pad = np.full(O2, N, np.int32)
+    cam_rows = np.zeros(O2, np.int32)
+    uv_rows = np.zeros((O2, 2), np.float32)
+    w_rows = np.zeros(O2, np.float32)
+    slot_pad[: len(rows)] = slot
+    cam_rows[: len(rows)] = cam[rows]
+    uv_rows[: len(rows)] = uv[rows]
+    w_rows[: len(rows)] = w[rows]
+    dinv_rows = np.zeros(O2, np.float32)
+    dw_rows = np.zeros(O2, np.float32)
     if depth is not None and depth_weight > 0:
         depth = np.asarray(depth, np.float32)
-        filled = meta.slot_obs >= 0
-        dvals = np.zeros(N, np.float32)
-        dvals[filled] = depth[meta.slot_obs[filled]]
-        has_d = filled & np.isfinite(dvals) & (dvals > 1e-3)
-        dinv_s[has_d] = 1.0 / dvals[has_d]
-        dw_s[has_d] = depth_weight
+        dvals = depth[rows]
+        has_d = np.isfinite(dvals) & (dvals > 1e-3)
+        dinv_rows[: len(rows)][has_d] = 1.0 / dvals[has_d]
+        dw_rows[: len(rows)][has_d] = depth_weight
+    cam_s, uv_s, w_s, dinv_s, dw_s = _scatter_planar(
+        jnp.asarray(slot_pad), jnp.asarray(cam_rows), jnp.asarray(uv_rows),
+        jnp.asarray(w_rows), jnp.asarray(dinv_rows), jnp.asarray(dw_rows),
+        N=N,
+    )
+    # Host-side meta (slot -> original observation row; prune/write-back).
+    slot_obs = np.full(N, -1, np.int64)
+    slot_obs[slot] = rows
+    pt_ids = np.full(P, -1, np.int64)
+    pt_ids[: len(used)] = used
+    pt_valid = np.zeros(P, np.float32)
+    pt_valid[: len(used)] = 1.0
+    meta = BAMeta(slot_obs, pt_ids)
     X = np.asarray(X, np.float32)
-    Xp = np.zeros((len(pt_ids), 3), np.float32)
+    Xp = np.zeros((P, 3), np.float32)
     real = pt_ids >= 0
     Xp[real] = X[pt_ids[real]]
     if se_i is None:
@@ -175,17 +233,17 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
         t=jnp.asarray(t, dtype=jnp.float32),
         X=jnp.asarray(Xp),
         pt_valid=jnp.asarray(pt_valid),
-        cam=jnp.asarray(cam_s),
-        uv=jnp.asarray(uv_s),
-        w=jnp.asarray(w_s),
+        cam=cam_s,
+        uv=uv_s,
+        w=w_s,
         intr=jnp.asarray(intr, dtype=jnp.float32),
         cam_fixed=jnp.asarray(np.asarray(cam_fixed, bool)),
         se_i=jnp.asarray(np.asarray(se_i, np.int32)),
         se_j=jnp.asarray(np.asarray(se_j, np.int32)),
         se_meas=jnp.asarray(np.asarray(se_meas, np.float32)),
         se_w=jnp.asarray(np.asarray(se_w, np.float32)),
-        dinv=jnp.asarray(dinv_s),
-        dw=jnp.asarray(dw_s),
+        dinv=dinv_s,
+        dw=dw_s,
     )
     return prob, meta
 

@@ -586,7 +586,11 @@ def _ba_step(prob, n_iters: int, cg_iters: int, solver: str = "chol",
     n_obs = jnp.maximum(jnp.sum(w), 1.0)
     blown = jnp.sum(bad.astype(w.dtype) * w) / n_obs
     diag = jnp.stack([cost_before, cost_after, blown])
-    return out, diag, bad
+    # Bit-packed bad mask: the (N,) planar mask is mostly padding at big
+    # map sizes (N = P*Q slots for ~0.15*N live obs) and its fetch rode
+    # every BA consume — N/8 bytes instead of N (unpacked host-side in
+    # _consume_pending_ba).
+    return out, diag, jnp.packbits(bad)
 
 
 def _fetch_async(*arrays) -> None:
@@ -1278,7 +1282,8 @@ class Slam:
             refine_iters=cfg.tracking.refine_iters,
             cross_check=cfg.frontend.cross_check,
         )
-        (blob_np,) = _fetch_now(blob2)
+        with self.timers.time("retrack_sync"):
+            (blob_np,) = _fetch_now(blob2)
         return blob_np, snap
 
     def _relocalize(self, feats):
@@ -1553,14 +1558,16 @@ class Slam:
         cfg = self.cfg
         use_depth = bool(cfg.use_depth and cfg.ba.depth_weight > 0)
         with self.timers.time("bundle_adjust"):
-            prob = self.map.to_ba_problem(
-                self.cfg.intrinsics,
-                depth_weight=cfg.ba.depth_weight if use_depth else 0.0,
-            )
-            out, diag, bad = _ba_step(
-                prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters,
-                solver=cfg.ba.solver, use_depth=use_depth,
-            )
+            with self.timers.time("ba_pack"):
+                prob = self.map.to_ba_problem(
+                    self.cfg.intrinsics,
+                    depth_weight=cfg.ba.depth_weight if use_depth else 0.0,
+                )
+            with self.timers.time("ba_dispatch"):
+                out, diag, bad = _ba_step(
+                    prob, n_iters=cfg.ba.iters, cg_iters=cfg.ba.cg_iters,
+                    solver=cfg.ba.solver, use_depth=use_depth,
+                )
         # Start the result copies now AND hand the blocking reads to the
         # background worker: by apply time (a couple of frames later) the
         # future has resolved and the apply's fetches are ~free. The
@@ -1651,7 +1658,7 @@ class Slam:
             )
             return
         self._pending_ba = None
-        with self.timers.time("bundle_adjust"):
+        with self.timers.time("bundle_adjust"), self.timers.time("ba_consume"):
             # The worker already ate the round trip; the fetched values are
             # cached on the device arrays, so the np.asarray reads below
             # (and in update_from_ba) are host-memory copies.
@@ -1677,37 +1684,41 @@ class Slam:
             return
         prob = out
         gauge_changed = False
-        if scale_gauge:
-            prob = ba_mod.median_depth_normalize(prob)
-            gauge_changed = True
-        self.map.update_from_ba(prob, meta)
-        if gauge_changed:
-            self.map.refresh_scale_meas()
-        # Prune observations the optimized map cannot explain (reproj error
-        # beyond the Huber regime; ≙ the role of g2o robust kernels, made
-        # permanent).
-        bad_np = np.asarray(bad)
-        if bad_np.any():
-            n = self.map.prune_obs_from_ba(bad_np, meta)
-            self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + n
-        # Safe point for table compaction: the consumed BA's meta was the
-        # only holder of observation-row indices, and no other BA is in
-        # flight here (this method just cleared _pending_ba).
-        reclaimed = self.map.compact_observations()
-        if reclaimed:
-            self.stats["obs_compacted"] = (
-                self.stats.get("obs_compacted", 0) + reclaimed
-            )
-        self.stats["ba_runs"] += 1
-        # The optimized landmarks replace the tracking snapshot (pose
-        # continuity kept: the tracker's prev pose is not rewritten). No
-        # epoch bump: in-flight handles bind their dispatch-time snapshot,
-        # whose pt_ids are global landmark ids that stay valid across a BA
-        # apply (even when pruning reorders the rebuilt snapshot's slots) —
-        # bumping here needlessly vetoed every in-flight keyframe candidate
-        # after each BA apply, halving the keyframe count in pipelined runs.
-        if self._last_kf_id is not None:
-            self._snapshot = self.map.local_snapshot(self._last_kf_id)
+        with self.timers.time("bundle_adjust"), self.timers.time("ba_apply"):
+            if scale_gauge:
+                prob = ba_mod.median_depth_normalize(prob)
+                gauge_changed = True
+            self.map.update_from_ba(prob, meta)
+            if gauge_changed:
+                self.map.refresh_scale_meas()
+            # Prune observations the optimized map cannot explain (reproj
+            # error beyond the Huber regime; ≙ the role of g2o robust
+            # kernels, made permanent).
+            bad_np = np.unpackbits(np.asarray(bad))[
+                : len(meta.slot_obs)
+            ].astype(bool)
+            if bad_np.any():
+                n = self.map.prune_obs_from_ba(bad_np, meta)
+                self.stats["obs_pruned"] = self.stats.get("obs_pruned", 0) + n
+            # Safe point for table compaction: the consumed BA's meta was
+            # the only holder of observation-row indices, and no other BA
+            # is in flight here (this method just cleared _pending_ba).
+            reclaimed = self.map.compact_observations()
+            if reclaimed:
+                self.stats["obs_compacted"] = (
+                    self.stats.get("obs_compacted", 0) + reclaimed
+                )
+            self.stats["ba_runs"] += 1
+            # The optimized landmarks replace the tracking snapshot (pose
+            # continuity kept: the tracker's prev pose is not rewritten).
+            # No epoch bump: in-flight handles bind their dispatch-time
+            # snapshot, whose pt_ids are global landmark ids that stay
+            # valid across a BA apply (even when pruning reorders the
+            # rebuilt snapshot's slots) — bumping here needlessly vetoed
+            # every in-flight keyframe candidate after each BA apply,
+            # halving the keyframe count in pipelined runs.
+            if self._last_kf_id is not None:
+                self._snapshot = self.map.local_snapshot(self._last_kf_id)
         self._state_token += 1  # confirmable state changed (see init)
 
     def _run_full_ba(self, scale_gauge: bool):
@@ -1954,6 +1965,37 @@ class Slam:
         prob0 = self.map.to_ba_problem(self.cfg.intrinsics)
         err0_d, w0_d = ba_mod.reproj_errors(prob0)
         R_new, t_new, s_new = self._optimize_pose_graph_arrays(cfg.pgo_iters)
+        # Edge-satisfaction gate (r5): the DCS kernel can down-weight a
+        # topologically-false edge to ~zero, making the "correction" a
+        # smooth near-no-op that the warp validation below cannot catch —
+        # the false closure would then be RECORDED (bogus edge + wrong
+        # cross-observations) while correcting nothing. A genuine closure's
+        # edge is SATISFIED by the optimized graph; an edge the graph
+        # refused to move toward is a rejected hypothesis, not a closure.
+        Rr = R_new[cand] @ R_new[kf_id].T  # realized cand<-cur rotation
+        ang = float(np.degrees(np.arccos(np.clip(
+            (np.trace(Z_R.T @ Rr) - 1.0) / 2.0, -1.0, 1.0
+        ))))
+        # Realized relative transform in the graph's own parametrization
+        # (Sim3: S_i S_j^-1 has t_rel = t_i - (s_i/s_j) R_rel t_j).
+        s_rel = (
+            float(s_new[cand] / max(float(s_new[kf_id]), 1e-6))
+            if s_new is not None else 1.0
+        )
+        t_hat = t_new[cand] - s_rel * (Rr @ t_new[kf_id])
+        scene_scale = max(float(np.median(np.abs(z_old)))
+                          if len(z_old) else 1.0, 1e-3)
+        t_res = float(np.linalg.norm(Z_t - t_hat)) / scene_scale
+        if ang > 5.0 or t_res > 0.15:
+            self._loop_edges.pop()
+            self.stats["loop_rejected_unsatisfied"] = (
+                self.stats.get("loop_rejected_unsatisfied", 0) + 1
+            )
+            self.stats.setdefault("loop_rejected_detail", []).append(
+                dict(kf=int(kf_id), cand=int(cand), n_inl=int(n_inl),
+                     edge_rot_deg=round(ang, 2), edge_t_res=round(t_res, 3))
+            )
+            return
         lc_mod.apply_pose_graph_correction(
             self.map, R_new, t_new, s_new
         )
