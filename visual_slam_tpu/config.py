@@ -37,6 +37,14 @@ class TwoViewConfig:
     # validFraction gate and are skipped without a full RANSAC attempt.
     min_flow_px: float = 30.0
     use_model_selection: bool = False  # homography-vs-essential init (v1 slam_test.py:207-218)
+    # Anchor re-seeding (r5): init attempts pair the anchor frame against
+    # each new frame; once the current frame is this many FRAMES past the
+    # anchor (and no accept-confirm is in flight) the anchor slides to the
+    # current frame. A pathological anchor (e.g. starting a sequence at lr
+    # frame 200) otherwise starves init FOREVER. 150 clears the healthy
+    # accept horizon (~63 frames of flow accumulation) PLUS the pipelined
+    # init queue's ~44-frame consume lag, so normal runs never re-anchor.
+    reanchor_after: int = 150
 
 
 @dataclass

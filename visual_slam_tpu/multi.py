@@ -131,7 +131,18 @@ def run_batched_windowed(
 ) -> list[Slam]:
     """Run B sequences with the FULL tracking loop batched over devices.
 
-    Upgrade of run_batched (which device-shards only the front-end): here
+    STATUS (r5): a DEVICE-RATE EXHIBIT, not the production config #3 mode.
+    It rides the same windowed scan as pipeline.run_windowed, whose
+    window-quantized keyframe cadence degrades beyond ~600 frames
+    (BASELINE.md round-4: 1200-frame windowed ATE 0.68 with failure
+    clusters at ~frame 1075 at window 8 AND 16). The production
+    multi-sequence mode is `run_batched` (per-frame semantics, shared
+    device-sharded front-end), which is gated at 600 frames/sequence in
+    tests/test_multi.py. Use this path to measure batched device
+    throughput, or for sequences <=600 frames (gated at that length by
+    tests/test_fullseq.py's windowed gate).
+
+    Mechanics — upgrade of run_batched (which device-shards only the front-end): here
     each step dispatches ONE program computing a `window`-frame tracking
     scan (extract -> match -> PnP -> on-device keyframe rule,
     pipeline._track_window) for EVERY sequence, vmapped over the sequence

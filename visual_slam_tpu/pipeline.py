@@ -812,28 +812,12 @@ class Slam:
         if h is not None:
             self._consume_init(h)
 
-    def _dispatch_init(self, frame_idx, feats):
-        """Dispatch one two-view init attempt without fetching (pipelining
-        support — the init phase is otherwise one blocking ~25 ms tunnel
-        fetch per frame). Returns a handle, or None for the anchor frame."""
+    def _init_attempt_blob(self, f0, f1):
         cfg = self.cfg
-        if self._init_feats is None:
-            self._init_feats = feats
-            self._init_frame_idx = frame_idx
-            self.trajectory.append(
-                FrameResult(frame_idx, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 0, True)
-            )
-            return None
-        f0, f1 = self._init_feats, feats
-        blob = _init_step(
-            f0.desc,
-            f0.uv,
-            f0.valid,
-            f1.desc,
-            f1.uv,
-            f1.valid,
-            self.intr,
-            self._next_key(),
+        return _init_step(
+            f0.desc, f0.uv, f0.valid,
+            f1.desc, f1.uv, f1.valid,
+            self.intr, self._next_key(),
             cfg.frontend.match_ratio,
             cfg.frontend.max_hamming,
             cfg.twoview.ess_threshold_factor / float(self.cfg.intrinsics[0]),
@@ -843,8 +827,75 @@ class Slam:
             cross_check=cfg.frontend.cross_check,
             min_flow_px=cfg.twoview.min_flow_px,
         )
+
+    def _dispatch_init(self, frame_idx, feats, anchor=None):
+        """Dispatch one two-view init attempt without fetching (pipelining
+        support — the init phase is otherwise one blocking ~25 ms tunnel
+        fetch per frame). Returns a handle, or None for the anchor frame.
+
+        Anchor RE-SEEDING (r5): attempts pair the anchor frame against each
+        new frame; a pathological anchor (textureless view, or a segment
+        whose motion relative to it never clears the flow/validFraction
+        gates) previously starved init FOREVER — measured: a monocular
+        sequence starting at dataset frame 200 never initialized in 600
+        frames on any driver. After `reanchor_after` failed attempts the
+        anchor slides to the current frame. Accept-time geometry binds the
+        anchor INTO each handle, so attempts dispatched against the old
+        anchor stay valid through a re-anchor."""
+        cfg = self.cfg
+        if anchor is not None:
+            # Re-verification of a specific pair: use the attempt's bound
+            # anchor (no counter tick, no anchor bookkeeping).
+            f0, aidx = anchor
+            blob = self._init_attempt_blob(f0, feats)
+            _fetch_async(blob)
+            return dict(
+                frame_idx=frame_idx, feats=feats, blob=blob,
+                anchor_feats=f0, anchor_idx=aidx,
+            )
+        if self._init_feats is None:
+            self._init_feats = feats
+            self._init_frame_idx = frame_idx
+            self.trajectory.append(
+                FrameResult(frame_idx, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 0, True)
+            )
+            return None
+        # Re-anchor on FRAME DISTANCE from the anchor, not attempt count,
+        # and never while a candidate confirm is in flight: the pipelined
+        # init queues ~40+ attempts past the eventual accept frame, so an
+        # attempt counter crosses any threshold near the accept horizon
+        # BEFORE the acceptance lands (measured: a spurious re-anchor at
+        # frame ~101 on a frame-63 accept perturbed the PRNG stream and
+        # the downstream run — ATE 0.074 -> 0.079, both closures lost).
+        # The threshold must exceed accept-horizon (~63 frames of flow
+        # accumulation) + the init pipeline's consume lag (~44 frames).
+        if (
+            frame_idx - self._init_frame_idx > cfg.twoview.reanchor_after
+            and self._pending_init_verify is None
+        ):
+            # Slide the anchor to this frame. The old anchor's provisional
+            # identity-pose trajectory entry is replaced by the new one.
+            self._init_feats = feats
+            self._init_frame_idx = frame_idx
+            if self.trajectory and self.trajectory[-1].n_tracked == 0:
+                self.trajectory.pop()
+            self.trajectory.append(FrameResult(
+                frame_idx, np.eye(3, dtype=np.float32),
+                np.zeros(3, np.float32), 0, True,
+            ))
+            self.stats["init_reanchors"] = (
+                self.stats.get("init_reanchors", 0) + 1
+            )
+            return None
+        f0, f1 = self._init_feats, feats
+        blob = self._init_attempt_blob(f0, f1)
         _fetch_async(blob)  # ONE async copy per init attempt
-        return dict(frame_idx=frame_idx, feats=feats, blob=blob)
+        return dict(
+            frame_idx=frame_idx, feats=feats, blob=blob,
+            # Bound at dispatch: accept-time geometry must use the anchor
+            # this attempt was computed against, even after a re-anchor.
+            anchor_feats=f0, anchor_idx=self._init_frame_idx,
+        )
 
     def _consume_init(self, h, row=None) -> bool:
         """Gate + (on acceptance) build the initial map from a dispatched
@@ -853,7 +904,12 @@ class Slam:
         in run_pipelined — one round trip per chunk, not per attempt)."""
         cfg = self.cfg
         frame_idx, feats = h["frame_idx"], h["feats"]
-        f0 = self._init_feats
+        # Anchor bound at dispatch time (see _dispatch_init re-anchoring):
+        # an attempt stays valid against ITS anchor even after a re-anchor.
+        f0 = h.get("anchor_feats")
+        if f0 is None:
+            f0 = self._init_feats
+        anchor_idx = h.get("anchor_idx", self._init_frame_idx)
         if row is None:
             # ONE fetch: gates + full accept data. _fetch_now (spin-then-
             # read) rather than a bare np.asarray: the blocking read's
@@ -887,14 +943,16 @@ class Slam:
                 # flight at a time; later candidates simply wait their turn
                 # (candidates arrive every frame once the flow gate opens).
                 if self._pending_init_verify is None:
-                    h2 = self._dispatch_init(frame_idx, feats)
+                    h2 = self._dispatch_init(
+                        frame_idx, feats, anchor=(f0, anchor_idx)
+                    )
                     h2["reverified"] = True
                     h2["depth"] = h.get("depth")
                     h2["fut"] = self._bg_fetch(h2["blob"])
                     h2["age"] = 0
                     self._pending_init_verify = h2
                 return False
-            h2 = self._dispatch_init(frame_idx, feats)
+            h2 = self._dispatch_init(frame_idx, feats, anchor=(f0, anchor_idx))
             h2["reverified"] = True
             if not self._consume_init(h2):
                 self.stats["init_reverify_rejects"] = (
@@ -914,8 +972,19 @@ class Slam:
         # Frame0 = world origin keyframe, this frame = keyframe 1.
         R0 = np.eye(3, dtype=np.float32)
         t0 = np.zeros(3, np.float32)
-        kf0 = self.map.add_keyframe(R0, t0, self._init_frame_idx)
+        kf0 = self.map.add_keyframe(R0, t0, anchor_idx)
         kf1 = self.map.add_keyframe(R1, t1, frame_idx)
+        # The provisional identity-pose trajectory entry must be the
+        # ACCEPTED anchor's (a re-anchor may have replaced it since).
+        if (
+            self.trajectory
+            and self.trajectory[-1].n_tracked == 0
+            and self.trajectory[-1].frame_idx != anchor_idx
+        ):
+            self.trajectory.pop()
+            self.trajectory.append(FrameResult(
+                anchor_idx, R0.copy(), t0.copy(), 0, True,
+            ))
         sel = np.where(good_np)[0]
         pt_ids = self.map.add_points(X_np[sel], np.asarray(feats.desc)[idx2_np[sel]])
         self.map.add_observations(kf0, pt_ids, np.asarray(uv1)[sel])
@@ -2695,6 +2764,8 @@ def run_windowed(
                         cfg.frontend.quality_level, cfg.frontend.nms_radius,
                     )
                     h = slam._dispatch_init(idx, feats)
+                    if h is None:  # re-anchor fired: this frame IS the anchor
+                        continue
                     h["win_pos"] = int(c)
                     handles.append(h)
                 _fetch_now(*[h["blob"] for h in handles])
