@@ -467,6 +467,38 @@ def main():
         rmse, _ = evaluate.ate_rmse(est, gt_pos, align_scale=True)
         extra["ate_rmse_m"] = round(rmse, 5)
 
+    # Cross-route equivalence (VERDICT r4 next #9): the CPU test suite
+    # gates full-sequence behavior on the XLA front-end stand-in (Pallas
+    # interpret mode is prohibitive there); this section pins, ON TPU and
+    # in the round artifact, that the two routes agree — so CI's XLA-route
+    # evidence transfers to the shipping Pallas route. Same 200 frames,
+    # same config, only the front-end differs.
+    if os.environ.get("BENCH_CROSSROUTE", "1") != "0" and gt is not None:
+        old_fb = _fe.FRONTEND_BACKEND
+        _fe.FRONTEND_BACKEND = "xla"
+        try:
+            s_x = run_mode_cb(Slam(SlamConfig()), mem_iter())
+        finally:
+            _fe.FRONTEND_BACKEND = old_fb
+        if s_x.initialized and slam_best.initialized:
+            ix, px = s_x.positions()
+            gx = gt[np.clip(ix, 0, len(gt) - 1), :3, 3]
+            ate_x, _ = evaluate.ate_rmse(px, gx, align_scale=True)
+            # Inter-route trajectory RMSE at common frame indices,
+            # Sim(3)-aligned (each route's monocular gauge is arbitrary).
+            ip, pp = slam_best.positions()
+            common = np.intersect1d(ix, ip)
+            ax = px[np.searchsorted(ix, common)]
+            ap = pp[np.searchsorted(ip, common)]
+            inter, _ = evaluate.ate_rmse(ax, ap, align_scale=True)
+            extra["crossroute"] = {
+                "ate_xla_route": round(ate_x, 5),
+                "ate_pallas_route": extra.get("ate_rmse_m"),
+                "inter_route_rmse_m": round(inter, 5),
+                "common_frames": int(len(common)),
+            }
+        s_x.close()
+
     if FULLSEQ:
         # Full-sequence metric (VERDICT r2 next #6): 1,000 frames with loop
         # closure on and a final pose-graph refinement, monocular (Sim3 ATE)

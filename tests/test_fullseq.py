@@ -90,6 +90,14 @@ def test_pipelined_200_frame_ate_gate(xla_frontend):
     assert slam.initialized
     assert rmse < 0.02, rmse
     assert fails == 0, fails
+    # No trajectory hole (ADVICE r4 medium): every frame from the accepted
+    # init pair to the end must have a pose — frames consumed while the
+    # async init confirm was in flight used to be dropped.
+    idxs = sorted(f.frame_idx for f in slam.trajectory)
+    init_f = slam.stats["init_frame"]
+    expected = set(range(init_f, 200))
+    missing = expected - set(idxs)
+    assert not missing, f"trajectory holes after init: {sorted(missing)[:10]}"
 
 
 @pytest.mark.slow

@@ -2523,7 +2523,10 @@ def run_pipelined(
             init_prepared[0][0].done() or len(init_prepared) >= 2
         ):
             fut, head = init_prepared.pop(0)
+            t1 = _time.perf_counter()
             rows = fut.result()
+            tick("init_fetch_wait", t1)
+            t1 = _time.perf_counter()
             for r, h2 in enumerate(head):
                 if slam.initialized:
                     # Frames after the accepted pair become tracking
@@ -2534,14 +2537,17 @@ def run_pipelined(
                     ))
                 elif consume_init_buffered(h2, rows[r]):
                     drain_init_to_tracking()
+            tick("init_consume_host", t1)
         if len(init_prepared) < 2 and len(init_pending) > init_cap:
             k = min(consume_chunk, len(init_pending))
             head = [init_pending.popleft() for _ in range(k)]
+            t1 = _time.perf_counter()
             stacked = jnp.stack([h2["blob"] for h2 in head])
             _fetch_async(stacked)
             init_prepared.append(
                 (fetch_pool.submit(np.asarray, stacked), head)
             )
+            tick("init_stack", t1)
         tick("consume_init", t0)
 
     def extract_dev(img_dev):
