@@ -1,8 +1,15 @@
 """Benchmark: full SLAM pipeline on ICL-NUIM lr traj3, first 200 frames
 (BASELINE.json config #1) on the available accelerator.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": frames/s, "unit": "frames/s", "vs_baseline": x}
+Output contract (r5): the FINAL stdout line is a compact headline JSON
+  {"metric": ..., "value": frames/s, "unit": "frames/s", "vs_baseline": x,
+   ...fullseq/ate/device-rate summary...}
+sized to survive any reasonable tail capture. The line before it is the
+FULL record (also written to BENCH_DETAIL.json). One additional partial
+headline (marked "partial": true) is flushed right after the headline
+passes as bad-weather insurance — if a later section wedges on the tunnel
+and the driver kills the bench, the tail still contains a parseable
+record. Consumers should use the LAST parseable JSON line.
 
 The headline number includes host image decode (the C++ async loader runs
 inside the timed loop, overlapped with device compute); fps_no_io times the
@@ -165,6 +172,20 @@ def main():
         if f > fps_mem:
             fps_mem, slam2 = f, s
     slam_best = slam2 if fps_mem >= fps_io else slam
+
+    # Bad-weather insurance: the tunnel has been observed to wedge for
+    # hours (scripts/probe_tunnel.py history). If a later section hangs and
+    # the driver kills the bench, the tail still contains this PARTIAL
+    # headline (flushed now); the final full headline supersedes it.
+    print(json.dumps({
+        "metric": "ICL-NUIM lr_kt0 200-frame SLAM throughput (incl. image decode)",
+        "value": round(fps_io, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_io / baseline_fps, 2),
+        "fps_io_passes": fps_io_passes,
+        "fps_no_io": round(fps_mem, 2),
+        "partial": True,
+    }), flush=True)
 
     # Device-rate evidence: back-to-back extract+track dispatches with
     # on-device pose threading, one terminal block (no per-frame host sync).

@@ -95,6 +95,29 @@ def _bucket(n: int, floor: int) -> int:
     return q
 
 
+def _plan_layout(pnt, w, min_p=64, min_q=8):
+    """Slot-layout planning shared by pack_planar (host scatter; kept for
+    direct callers/tests) and make_problem (device scatter): group valid
+    observations by landmark, bucket P/Q to powers of two, and assign each
+    observation row its planar slot. Returns (rows, slot, used, P, Q)."""
+    pnt = np.asarray(pnt)
+    w = np.asarray(w, np.float32)
+    valid = np.where(w > 0)[0]
+    vp = pnt[valid]
+    used = np.unique(vp)  # sorted original landmark ids with >=1 valid obs
+    P = _bucket(max(len(used), 1), min_p)
+    counts = np.bincount(np.searchsorted(used, vp), minlength=max(len(used), 1))
+    Q = _bucket(int(counts.max()) if counts.size else 1, min_q)
+    order = np.argsort(vp, kind="stable")
+    rows = valid[order]
+    dense_p = np.searchsorted(used, vp[order])
+    first = np.searchsorted(dense_p, np.arange(len(used)), side="left")
+    slot = (dense_p * Q + (np.arange(len(rows)) - first[dense_p])).astype(
+        np.int32
+    )
+    return rows, slot, used, P, Q
+
+
 def pack_planar(cam, pnt, uv, w, min_p=64, min_q=8):
     """Group O-indexed observations by landmark into the (P, Q) slot layout.
 
@@ -103,21 +126,10 @@ def pack_planar(cam, pnt, uv, w, min_p=64, min_q=8):
     recompiles at most a few times per run. Returns planar pieces + BAMeta.
     """
     cam = np.asarray(cam)
-    pnt = np.asarray(pnt)
     uv = np.asarray(uv, np.float32)
     w = np.asarray(w, np.float32)
-    valid = np.where(w > 0)[0]
-    vp = pnt[valid]
-    used = np.unique(vp)  # sorted original landmark ids with >=1 valid obs
-    P = _bucket(max(len(used), 1), min_p)
-    counts = np.bincount(np.searchsorted(used, vp), minlength=max(len(used), 1))
-    Q = _bucket(int(counts.max()) if counts.size else 1, min_q)
+    rows, slot, used, P, Q = _plan_layout(pnt, w, min_p=min_p, min_q=min_q)
     N = P * Q
-    order = np.argsort(vp, kind="stable")
-    rows = valid[order]
-    dense_p = np.searchsorted(used, vp[order])
-    first = np.searchsorted(dense_p, np.arange(len(used)), side="left")
-    slot = dense_p * Q + (np.arange(len(rows)) - first[dense_p])
     cam_s = np.zeros(N, np.int32)
     uv_s = np.zeros((2, N), np.float32)
     w_s = np.zeros(N, np.float32)
@@ -170,23 +182,10 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
     """
     R = np.asarray(R, np.float32)
     cam = np.asarray(cam)
-    pnt = np.asarray(pnt)
     uv = np.asarray(uv, np.float32)
     w = np.asarray(w, np.float32)
-    valid = np.where(w > 0)[0]
-    vp = pnt[valid]
-    used = np.unique(vp)
-    P = _bucket(max(len(used), 1), min_p)
-    counts = np.bincount(np.searchsorted(used, vp), minlength=max(len(used), 1))
-    Q = _bucket(int(counts.max()) if counts.size else 1, min_q)
+    rows, slot, used, P, Q = _plan_layout(pnt, w, min_p=min_p, min_q=min_q)
     N = P * Q
-    order = np.argsort(vp, kind="stable")
-    rows = valid[order]
-    dense_p = np.searchsorted(used, vp[order])
-    first = np.searchsorted(dense_p, np.arange(len(used)), side="left")
-    slot = (dense_p * Q + (np.arange(len(rows)) - first[dense_p])).astype(
-        np.int32
-    )
     # Compact transfer rows, padded to a power-of-two count (few compile
     # shapes); padding rows scatter to slot N and are dropped on device.
     O2 = _bucket(max(len(rows), 1), 2048)

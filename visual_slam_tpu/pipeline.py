@@ -975,12 +975,18 @@ class Slam:
         kf0 = self.map.add_keyframe(R0, t0, anchor_idx)
         kf1 = self.map.add_keyframe(R1, t1, frame_idx)
         # The provisional identity-pose trajectory entry must be the
-        # ACCEPTED anchor's (a re-anchor may have replaced it since).
+        # ACCEPTED anchor's (a re-anchor may have replaced it since). The
+        # popped entry's frame — the newer anchor, which got no init
+        # handle of its own — would otherwise be a trajectory hole; it is
+        # re-tracked against the fresh map after initialization below.
+        orphan_idx = None
         if (
             self.trajectory
             and self.trajectory[-1].n_tracked == 0
             and self.trajectory[-1].frame_idx != anchor_idx
         ):
+            orphan_idx = self.trajectory[-1].frame_idx
+            orphan_feats = self._init_feats  # the replaced anchor's feats
             self.trajectory.pop()
             self.trajectory.append(FrameResult(
                 anchor_idx, R0.copy(), t0.copy(), 0, True,
@@ -1015,6 +1021,30 @@ class Slam:
         self.trajectory.append(
             FrameResult(frame_idx, self.map.kf_R[kf1], self.map.kf_t[kf1], n_matches, True)
         )
+        if orphan_idx is not None and orphan_idx > frame_idx:
+            # Pose-only backfill of the superseded newer anchor (one sync
+            # track per accept-after-reanchor — a rare event).
+            snap = self._snapshot
+            blob, _, _ = _track_step(
+                orphan_feats.desc, orphan_feats.uv, orphan_feats.valid,
+                snap["desc"], snap["xyz"], snap["valid"],
+                jnp.asarray(self._prev_R), jnp.asarray(self._prev_t),
+                self.intr, self._next_key(),
+                cfg.frontend.match_ratio, cfg.frontend.max_hamming,
+                cfg.tracking.pnp_threshold_px,
+                n_hyps=cfg.tracking.pnp_hypotheses,
+                refine_iters=cfg.tracking.refine_iters,
+                cross_check=cfg.frontend.cross_check,
+            )
+            (ob,) = _fetch_now(blob)
+            n_tr = int(ob[12])
+            if n_tr >= cfg.tracking.min_tracked_points:
+                Ro, to_ = ob[:9].reshape(3, 3).copy(), ob[9:12].copy()
+            else:
+                Ro, to_ = self._prev_R.copy(), self._prev_t.copy()
+            self.trajectory.append(FrameResult(
+                orphan_idx, Ro, to_, n_tr, False, ref_kf=kf1,
+            ))
         return True
 
     def _check_init_verify(self, force: bool = False) -> bool:
@@ -2031,8 +2061,6 @@ class Slam:
             self.map.kf_R.copy(), self.map.kf_t.copy(),
             self.map.pt_xyz.copy(), self.map.kf_scale_meas.copy(),
         )
-        prob0 = self.map.to_ba_problem(self.cfg.intrinsics)
-        err0_d, w0_d = ba_mod.reproj_errors(prob0)
         R_new, t_new, s_new = self._optimize_pose_graph_arrays(cfg.pgo_iters)
         # Edge-satisfaction gate (r5): the DCS kernel can down-weight a
         # topologically-false edge to ~zero, making the "correction" a
@@ -2065,6 +2093,11 @@ class Slam:
                      edge_rot_deg=round(ang, 2), edge_t_res=round(t_res, 3))
             )
             return
+        # Pre-correction reprojection baseline, computed only once the
+        # edge-satisfaction gate has passed (a gate-rejected closure used
+        # to pay a full-map problem pack + device dispatch for nothing).
+        prob0 = self.map.to_ba_problem(self.cfg.intrinsics)
+        err0_d, w0_d = ba_mod.reproj_errors(prob0)
         lc_mod.apply_pose_graph_correction(
             self.map, R_new, t_new, s_new
         )
@@ -2402,6 +2435,13 @@ def run_pipelined(
         if not ok and was_pending:
             h2["was_verify_buffered"] = True
             verify_buffer.append(h2)
+            # Bounded: in a run that never accepts, confirms are in flight
+            # most of the time and the buffer would otherwise pin device
+            # blobs (~100 KB/frame) for the whole run. 64 comfortably
+            # covers the init backlog (~44) + confirm window; frames
+            # dropped beyond that predate any acceptable candidate.
+            if len(verify_buffer) > 64:
+                verify_buffer.pop(0)
         return ok
 
     def tick(key, t0):
@@ -2770,8 +2810,13 @@ def run_windowed(
                         cfg.frontend.quality_level, cfg.frontend.nms_radius,
                     )
                     h = slam._dispatch_init(idx, feats)
-                    if h is None:  # re-anchor fired: this frame IS the anchor
-                        continue
+                    if h is None:
+                        # Re-anchor fired: this frame IS the new anchor, and
+                        # the remaining candidates were pre-screened against
+                        # the OLD anchor — dispatching them against the new
+                        # one (a few frames away, near-zero flow) would
+                        # waste a full RANSAC attempt each.
+                        break
                     h["win_pos"] = int(c)
                     handles.append(h)
                 _fetch_now(*[h["blob"] for h in handles])

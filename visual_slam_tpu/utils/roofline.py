@@ -153,16 +153,17 @@ def stage_table(costs: dict, measured_ms: dict | None = None) -> dict:
         if ms:
             peak = PEAK_BF16_TFLOPS if v["flops_dtype"] == "bf16" else PEAK_F32_TFLOPS
             row["ms"] = round(ms, 4)
-            row["achieved_tflops"] = round(v["flops"] / ms / 1e9, 3)
             pct_compute = v["flops"] / ms / 1e9 / peak * 100
             implied_gbps = v["bytes"] / ms / 1e6
             pct_hbm = implied_gbps / PEAK_HBM_GBPS * 100
             # Physics check: implied bandwidth above the HBM peak means the
             # modeled round-trip did not happen — the stage fused and its
             # arrays stayed in VMEM. The byte model then says nothing about
-            # this stage's bound; classify by compute alone. (Same guard on
+            # this stage's bound; classify by compute alone. Same guard on
             # compute: >100% of MXU/VPU peak would mean the flop count is
-            # overcounted — flag rather than print an impossibility.)
+            # overcounted — the row is flagged and NO number derived from
+            # the disavowed model (achieved rate, percentage, bound) is
+            # printed; no row may state an impossibility.
             row["hbm_roundtrip"] = implied_gbps <= PEAK_HBM_GBPS
             if row["hbm_roundtrip"]:
                 row["achieved_gbps"] = round(implied_gbps, 1)
@@ -170,12 +171,17 @@ def stage_table(costs: dict, measured_ms: dict | None = None) -> dict:
             else:
                 row["achieved_gbps"] = None
                 row["pct_hbm_peak"] = None
-            if pct_compute > 100.0:
+            flops_ok = pct_compute <= 100.0
+            if flops_ok:
+                row["achieved_tflops"] = round(v["flops"] / ms / 1e9, 3)
+                row["pct_compute_peak"] = round(pct_compute, 2)
+            else:
+                row["achieved_tflops"] = None
                 row["pct_compute_peak"] = None
                 row["flop_model_overcounts"] = True
-            else:
-                row["pct_compute_peak"] = round(pct_compute, 2)
-            if not row["hbm_roundtrip"]:
+            if not flops_ok:
+                row["bound"] = "unknown (flop model overcounts this stage)"
+            elif not row["hbm_roundtrip"]:
                 row["bound"] = "compute (fused: modeled bytes stayed in VMEM)"
             elif pct_compute >= pct_hbm:
                 row["bound"] = "compute"
