@@ -186,9 +186,15 @@ def make_problem(R, t, X, cam, pnt, uv, w, intr, cam_fixed,
     w = np.asarray(w, np.float32)
     rows, slot, used, P, Q = _plan_layout(pnt, w, min_p=min_p, min_q=min_q)
     N = P * Q
-    # Compact transfer rows, padded to a power-of-two count (few compile
-    # shapes); padding rows scatter to slot N and are dropped on device.
-    O2 = _bucket(max(len(rows), 1), 2048)
+    # Compact transfer rows, padded to a power-of-FOUR count (each NEW
+    # (O2, N) pair is a fresh _scatter_planar compile on this backend's
+    # remote compile service — seconds each; pow2 growth measured ~73 s of
+    # compile-dominated BA dispatch over an RGB-D full sequence, where
+    # depth mining grows the observation count across many pow2 buckets).
+    # Padding rows scatter to slot N and are dropped on device.
+    O2 = 2048
+    while O2 < len(rows):
+        O2 *= 4
     slot_pad = np.full(O2, N, np.int32)
     cam_rows = np.zeros(O2, np.int32)
     uv_rows = np.zeros((O2, 2), np.float32)
