@@ -116,6 +116,13 @@ class BAConfig:
     # units — see ba._depth_terms). Active only in use_depth mode; 0
     # disables. The reference never uses its depth images in BA.
     depth_weight: float = 1.0
+    # Full-BA cadence in keyframes. 1 ≙ the reference (global BA on every
+    # keyframe, main.py:322-323). Values >1 skip the BA dispatch on
+    # intermediate keyframes (their observations join the next scheduled
+    # BA) — a speed/accuracy knob for long sequences where BA-adjacent
+    # host work dominates; any deviation from 1 must carry an A/B ATE
+    # measurement next to the setting that uses it.
+    every_n_kf: int = 1
 
 
 @dataclass

@@ -1511,7 +1511,13 @@ class Slam:
         # and including this keyframe's tracked observations; the points
         # this keyframe MINES join the next keyframe's BA.
         with self.timers.time("kf_dispatch_ba"):
-            if self._pending_ba is None:
+            if kf_id % max(self.cfg.ba.every_n_kf, 1) != 0:
+                # Scheduled skip (ba.every_n_kf > 1): this keyframe's
+                # observations join the next scheduled keyframe's BA.
+                self.stats["ba_skipped_interval"] = (
+                    self.stats.get("ba_skipped_interval", 0) + 1
+                )
+            elif self._pending_ba is None:
                 self._dispatch_ba(kf_id, scale_gauge=False)
             else:
                 # BA slot occupied (previous keyframe's solve still in
@@ -2333,6 +2339,17 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
         cfg.map.max_keyframes = need_kf
         cfg.map.max_points = max(cfg.map.max_points, need_kf * 128)
         cfg.map.max_observations = max(cfg.map.max_observations, need_kf * 512)
+    if n_frames > 600 and cfg.ba.every_n_kf == 1:
+        # Full-BA cadence on long monocular sequences, set by A/B on the
+        # 1200-frame lr traj3 run (deterministic pipelined driver, final
+        # pose graph): every keyframe ATE 0.0738 / every 2nd 0.0482 /
+        # every 3rd 0.0404 / every 6th 0.0553 — per-keyframe global BA
+        # over-drags the monocular gauge (each apply also churns the
+        # snapshot/veto state), while starving BA (6) lets drift build.
+        # 2 is the least deviation from the reference's every-keyframe
+        # semantics (main.py:322-323) that sits on the good side of the
+        # curve; short runs keep exact reference cadence.
+        cfg.ba.every_n_kf = 2
     return cfg
 
 
