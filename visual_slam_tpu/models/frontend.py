@@ -54,16 +54,14 @@ def _to_gray_jit(img: jnp.ndarray) -> jnp.ndarray:
 def _topk_select(peaks: jnp.ndarray, max_features: int, quality_level: float = 0.01, border: int = 16):
     """NMS'd peak map -> top-K corner coordinates.
 
-    approx_max_k instead of exact top_k: the TPU-native partial-reduction
-    lowering runs ~5x faster over the 307k-pixel peak map (measured 0.40
-    -> 0.08 ms), at a >=95% recall target that only ever swaps the WEAKEST
-    corners near the cut — after NMS the peak map holds a few thousand
-    finite peaks and the strong ones are recalled exactly (end-to-end ATE
-    measured unchanged)."""
+    EXACT top_k (r5). Round 4 swapped in approx_max_k (recall 0.95) for a
+    0.40 -> 0.08 ms stage win and recorded "end-to-end ATE unchanged";
+    re-measured on the full 200-frame TPU pipeline that was wrong: the
+    weakest-corner swaps near the cut moved 200-frame ATE 0.0147 -> 0.0187
+    (the entire r4 accuracy slide on the headline config). +0.33 ms/frame
+    (~2% of the tracking-phase frame time) buys the 21% back."""
     H, W = peaks.shape
-    top, idx = jax.lax.approx_max_k(
-        peaks.reshape(-1), max_features, recall_target=0.95
-    )
+    top, idx = jax.lax.top_k(peaks.reshape(-1), max_features)
     y = (idx // W).astype(jnp.float32)
     x = (idx % W).astype(jnp.float32)
     uv = jnp.stack([x, y], axis=-1)

@@ -2298,22 +2298,69 @@ class Slam:
                 fr.R_cw = (R_rel @ self.map.kf_R[a]).astype(np.float32)
                 fr.t_cw = (R_rel @ self.map.kf_t[a] + t_rel).astype(np.float32)
 
+    def _reproj_blown_fraction(self) -> float:
+        """Weighted fraction of map observations beyond the Huber regime —
+        the house map-consistency proxy (same metric the loop-closure warp
+        validation uses)."""
+        prob = self.map.to_ba_problem(self.cfg.intrinsics)
+        e_d, w_d = ba_mod.reproj_errors(prob)
+        e, w = _fetch_now(e_d, w_d)
+        thr = 3.0 * ba_mod.HUBER_DELTA
+        return float(((e > thr) * w).sum() / max(float(w.sum()), 1.0))
+
     def optimize_pose_graph(self, n_iters: int = 15) -> None:
         """Final keyframe pose-graph optimization with scale edges and any
         accumulated loop edges (config #4 scale-drift correction; ≙ the
         EdgeSE3/EdgeSBAScale chain the reference builds in LocalBA.py:97-131).
         Updates keyframe poses (landmarks re-anchored) and rewrites the
         whole trajectory (non-keyframe entries move through their
-        reference keyframe — see _rewrite_keyframe_trajectory)."""
+        reference keyframe — see _rewrite_keyframe_trajectory).
+
+        FINAL-PASS POLICY (r5, measured): when loop closures were APPLIED
+        in-run, the map is already loop-consistent — the in-run Sim3
+        corrections consumed the loop information, and re-asserting the
+        (gauge-stale) loop edges against a freshly smoothed chain INJECTS
+        error (1200-frame mono, isolated on one run's end state: no final
+        pass ATE 0.0566 / SE3-smoothing-only 0.0602 / full final pass
+        0.0676, with the blown-observation fraction tracking the damage
+        0.0 -> 0.0002 -> 0.0141). The final pass is therefore SKIPPED when
+        closures were applied. Runs WITHOUT in-run closures keep the
+        load-bearing scale-edge smoothing (dropping it measured raw scale
+        drift >3x / ATE 0.58 in r4), warp-validated at +0.005 blown with
+        revert — the same guard loop corrections carry."""
         # Land the deferred mine first WITH its BA (the final keyframe's
         # mined points would otherwise never be optimized), then everything
         # else still in flight.
         self._apply_pending_mine(force=True, dispatch_ba=True)
         self._apply_pending_ba(force=True)
+        if self.stats.get("loop_closures", 0) > 0:
+            self.stats["final_pass"] = "skipped_closures_applied"
+            return
+        saved = (
+            self.map.kf_R.copy(), self.map.kf_t.copy(),
+            self.map.pt_xyz.copy(), self.map.kf_scale_meas.copy(),
+            [(f.R_cw.copy(), f.t_cw.copy()) for f in self.trajectory],
+        )
+
+        def restore():
+            (self.map.kf_R, self.map.kf_t, self.map.pt_xyz,
+             self.map.kf_scale_meas) = (
+                saved[0].copy(), saved[1].copy(), saved[2].copy(),
+                saved[3].copy(),
+            )
+            for f, (Rs, ts) in zip(self.trajectory, saved[4]):
+                f.R_cw, f.t_cw = Rs.copy(), ts.copy()
+
+        blown0 = self._reproj_blown_fraction()
         R, t, s = self._optimize_pose_graph_arrays(n_iters, final=True)
         old_R, old_t = self.map.kf_R.copy(), self.map.kf_t.copy()
         lc_mod.apply_pose_graph_correction(self.map, R, t, s)
         self._rewrite_keyframe_trajectory(old_R=old_R, old_t=old_t)
+        if self._reproj_blown_fraction() <= blown0 + 0.005:
+            self.stats["final_pass"] = "smooth"
+            return
+        restore()
+        self.stats["final_pass"] = "reverted"
         # NO BA after the final correction: probed — a post-correction
         # global BA pulls keyframes back toward the reprojection optimum
         # of the still drift-scaled landmark field, undoing part of the
