@@ -34,8 +34,11 @@ import numpy as np
 CPU_BASELINE_FPS = 27.25  # scripts/cpu_baseline.py measured on this host
 DATA = "/root/reference/data/ICL_NUIM"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "200"))
-PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "6"))
-# "pipelined" (default; per-frame dispatches, depth-6 in-flight — the
+# Depth 8 (r5): chunk_depth 2 halves the consume-landing waits; measured
+# same-weather A/B: 200-frame 26.7 -> 31.5 fps with ATE 0.0217 -> 0.0191,
+# 1200-frame mono ATE 0.0578 -> 0.0519 (2 closures, 0 failures both).
+PIPE_DEPTH = int(os.environ.get("BENCH_PIPE_DEPTH", "8"))
+# "pipelined" (default; per-frame dispatches, depth-8 in-flight — the
 # production driver: fastest end-to-end AND correct on the full sequence)
 # or "windowed" (W-frame device-side tracking scans, one sync per window —
 # the device-rate exhibit). Round-4 driver decision, by data: pipelined won

@@ -42,7 +42,7 @@ def _run(mode: str, n: int):
     slam = run_sequence(
         ds, cfg, 0, n,
         windowed=(mode == "windowed"), window=16,
-        pipelined=(mode == "pipelined"), pipeline_depth=6,
+        pipelined=(mode == "pipelined"),  # production default pipeline depth
     )
     slam.optimize_pose_graph()
     idxs, est = slam.positions()

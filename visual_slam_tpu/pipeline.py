@@ -2403,7 +2403,7 @@ def size_config_for(n_frames: int, config: SlamConfig | None = None) -> SlamConf
 def run_pipelined(
     slam: "Slam",
     frame_iter,
-    pipeline_depth: int = 6,
+    pipeline_depth: int = 8,
     h2d_block: int = 4,
     prof: dict | None = None,
     on_frame=None,
@@ -3129,7 +3129,7 @@ def run_sequence(
     stop=None,
     verbose=False,
     pipelined: bool = False,
-    pipeline_depth: int = 6,
+    pipeline_depth: int = 8,
     windowed: bool = False,
     window: int = 8,
     on_frame=None,
